@@ -1,0 +1,286 @@
+"""HTML main-content extraction kernel.
+
+Boilerpipe/trafilatura-style text-density + link-density heuristics over
+a *flat DOM-node array* — the graft analog of the reference's OCR text
+regions (reference core/ocr_engine.py:244-267 builds
+``{text, confidence, bbox}`` observations; here each block-level text
+run becomes ``(tag, depth, text_len, link_density)``), followed by a
+content/boilerplate classification replacing Vision OCR
+(reference core/ocr_engine.py:178-293).
+
+Design constraints (BASELINE.json north_rule):
+- pure Python + stdlib only, fully deterministic (no wall clock, no
+  randomness, no float accumulation order dependence): confidences are
+  derived from integers and rounded at fixed points;
+- the same function is the pytest byte-identity oracle AND the body of
+  the Arrow UDF, so "byte-identical extracted text per url" holds by
+  construction;
+- whitespace inside a node is normalized exactly like the reference's
+  F6 normalizer (``re.sub(r'\\s+', ' ', s.strip())``,
+  reference core/validators.py:106).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+__all__ = ["Node", "HtmlExtraction", "parse_nodes", "classify_nodes", "extract_html"]
+
+_WS_RE = re.compile(r"\s+")
+
+# Block-level elements: each opens a new node in the flat array.
+BLOCK_TAGS = frozenset(
+    """p div li td th h1 h2 h3 h4 h5 h6 pre blockquote article section
+    main figcaption caption dd dt summary title""".split()
+)
+# Elements whose entire subtree is boilerplate by position.
+BOILERPLATE_CONTAINERS = frozenset("nav header footer aside form menu".split())
+# Elements whose raw content is dropped entirely.
+DROP_TAGS = frozenset("script style template noscript svg head".split())
+# Void elements never pushed on the open-tag stack.
+VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
+
+# Classification thresholds (fixed; integer/char-count based).
+MAX_LINK_DENSITY = 0.3334  # reject link farms (link chars / text chars)
+MIN_CONTENT_CHARS = 25  # a node this long with low link density is content
+MIN_HEADING_CHARS = 8  # headings get a lower bar (trafilatura keeps them)
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+DEFAULT_SEPARATOR = "\n\n"
+
+
+@dataclass
+class Node:
+    """One block-level text run — the flat DOM-node array element
+    ``(tag, depth, text_len, link_density)`` of the north rule."""
+
+    idx: int
+    tag: str
+    depth: int
+    text: str
+    n_chars: int
+    link_chars: int
+    in_boilerplate: bool
+
+    @property
+    def link_density(self) -> float:
+        if self.n_chars <= 0:
+            return 1.0
+        # Ratio of two ints — deterministic.
+        return self.link_chars / self.n_chars
+
+
+@dataclass
+class HtmlExtraction:
+    text: str
+    # span = (start, end, node_idx, confidence) — offsets into `text`,
+    # graft analog of the reference's bbox'd text regions
+    # (core/ocr_engine.py:244-267).
+    spans: list[tuple[int, int, int, float]]
+    nodes: list[Node]
+    n_content: int
+    charset: str
+
+
+class _FlatDomParser(HTMLParser):
+    """Streams HTML into the flat node array. Tolerant of malformed
+    markup (HTMLParser never raises on bad nesting — the analog of the
+    reference's per-page error-skip, core/ocr_engine.py:163-165)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.nodes: list[Node] = []
+        self._depth = 0
+        self._boiler_depth = 0
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._block_stack: list[list] = []  # [tag, depth, [texts], link_chars, boiler]
+
+    # -- helpers -------------------------------------------------------
+    def _open_block(self, tag: str) -> None:
+        self._block_stack.append(
+            [tag, self._depth, [], 0, self._boiler_depth > 0]
+        )
+
+    def _close_block(self) -> None:
+        tag, depth, texts, link_chars, boiler = self._block_stack.pop()
+        raw = "".join(texts)
+        norm = _WS_RE.sub(" ", raw).strip()
+        if not norm:
+            return
+        self.nodes.append(
+            Node(
+                idx=len(self.nodes),
+                tag=tag,
+                depth=depth,
+                text=norm,
+                n_chars=len(norm),
+                # clamp: normalization can only shrink text, keep ratio sane
+                link_chars=min(link_chars, len(norm)),
+                in_boilerplate=boiler,
+            )
+        )
+
+    # -- HTMLParser hooks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in VOID_TAGS:
+            return
+        self._depth += 1
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag in BOILERPLATE_CONTAINERS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._open_block(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        if tag in DROP_TAGS:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+            self._depth = max(0, self._depth - 1)
+            return
+        if tag in BOILERPLATE_CONTAINERS and self._boiler_depth > 0:
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+        if tag in BLOCK_TAGS and self._block_stack:
+            # close innermost matching block (tolerates bad nesting)
+            for i in range(len(self._block_stack) - 1, -1, -1):
+                if self._block_stack[i][0] == tag:
+                    # close any blocks opened inside it first
+                    while len(self._block_stack) > i + 1:
+                        self._close_block()
+                    self._close_block()
+                    break
+        self._depth = max(0, self._depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth > 0 or not data:
+            return
+        if not self._block_stack:
+            return  # stray text outside any block element: ignored
+        top = self._block_stack[-1]
+        top[2].append(data)
+        if self._link_depth > 0:
+            top[3] += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self) -> None:  # flush unclosed blocks (truncated docs)
+        super().close()
+        while self._block_stack:
+            self._close_block()
+
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "windows-1251": "windows-1251",
+    "cp1251": "windows-1251",
+    "iso-8859-1": "iso-8859-1",
+    "latin-1": "iso-8859-1",
+    "ascii": "utf-8",
+}
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Charset sniff over the first 2 KiB (the graft analog of the
+    reference's image-format dispatch, core/ocr_engine.py:98-112)."""
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        return _KNOWN_CHARSETS.get(m.group(1).decode("ascii", "replace").lower(), "utf-8")
+    return "utf-8"
+
+
+def parse_nodes(raw: bytes) -> tuple[list[Node], str]:
+    """bytes → flat DOM-node array. Never raises on malformed HTML."""
+    charset = sniff_charset(raw)
+    text = raw.decode(charset, errors="replace")
+    p = _FlatDomParser()
+    p.feed(text)
+    p.close()
+    return p.nodes, charset
+
+
+def node_confidence(node: Node) -> float:
+    """Deterministic per-node confidence in [0,1] — graft analog of OCR
+    per-region confidence (reference core/ocr_engine.py:254). Derived
+    only from integer counts with a single fixed rounding point."""
+    density_term = min(1.0, node.n_chars / 200.0)
+    link_term = 1.0 - node.link_density
+    return round(0.5 * density_term + 0.5 * link_term, 4)
+
+
+def classify_nodes(nodes: list[Node]) -> list[bool]:
+    """Content-vs-boilerplate classification.
+
+    Rules (Boilerpipe-style number-of-words + link-density with
+    neighbour smoothing):
+      1. nodes under nav/header/footer/aside/form/menu → boilerplate;
+      2. link_density > 1/3 → boilerplate (link farm);
+      3. length >= MIN_CONTENT_CHARS → content;
+         headings with length >= MIN_HEADING_CHARS → content;
+      4. smoothing: a short low-link node adjacent (idx±1) to a node
+         accepted by rule 3 is content (captures short sentences inside
+         the article body).
+    """
+    n = len(nodes)
+    strong = [False] * n
+    for i, nd in enumerate(nodes):
+        if nd.in_boilerplate or nd.tag == "title":
+            continue
+        if nd.link_density > MAX_LINK_DENSITY:
+            continue
+        if nd.n_chars >= MIN_CONTENT_CHARS or (
+            nd.tag in HEADING_TAGS and nd.n_chars >= MIN_HEADING_CHARS
+        ):
+            strong[i] = True
+    keep = list(strong)
+    for i, nd in enumerate(nodes):
+        if keep[i] or nd.in_boilerplate or nd.tag == "title":
+            continue
+        if nd.link_density > MAX_LINK_DENSITY:
+            continue
+        if (i > 0 and strong[i - 1]) or (i + 1 < n and strong[i + 1]):
+            keep[i] = True
+    return keep
+
+
+def extract_html(raw: bytes, separator: str = DEFAULT_SEPARATOR) -> HtmlExtraction:
+    """Full kernel: bytes → (extracted_text, spans, node array).
+
+    Span offsets index into the returned text; ``node_idx`` points into
+    the full node array (not just the kept ones), so downstream targeted
+    re-extraction (SURVEY.md M2) can find the source node.
+    """
+    nodes, charset = parse_nodes(raw)
+    keep = classify_nodes(nodes)
+    parts: list[str] = []
+    spans: list[tuple[int, int, int, float]] = []
+    pos = 0
+    sep_len = len(separator)
+    for nd, k in zip(nodes, keep):
+        if not k:
+            continue
+        if parts:
+            pos += sep_len
+        start = pos
+        end = start + nd.n_chars
+        spans.append((start, end, nd.idx, node_confidence(nd)))
+        parts.append(nd.text)
+        pos = end
+    return HtmlExtraction(
+        text=separator.join(parts),
+        spans=spans,
+        nodes=nodes,
+        n_content=len(parts),
+        charset=charset,
+    )

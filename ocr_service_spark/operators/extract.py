@@ -1,0 +1,101 @@
+"""Extraction UDF stage — the M1 centerpiece (SURVEY.md §2.9).
+
+A single iterator-style pandas UDF (Arrow-batched; plan shows
+ArrowEvalPython, never BatchEvalPython) wraps the pure kernel
+`extract_document`. Iterator form so per-batch setup (regex compile,
+imports) happens once per partition, mirroring the reference's
+compile-once validators (core/validators.py:78-83).
+
+The UDF replaces the reference's whole OCR stack: image preprocess
+(core/ocr_engine.py:51-82) → Vision OCR (178-293) → per-page loop
+(137-176) → temp-file round-trips (312-325). Bytes stay in Arrow
+buffers end-to-end; per-page results stay inside the row's array until
+the caller explodes them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("node_idx", T.IntegerType()),
+            T.StructField("confidence", T.DoubleType()),
+        ]
+    )
+)
+
+EXTRACT_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_nodes", T.IntegerType()),
+        T.StructField("n_content", T.IntegerType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def make_extract_udf(separator: str = "\n\n"):
+    """Build the extraction UDF with a fixed block separator.
+
+    separator='\\n\\n' is the production default; the round-trip
+    correctness query uses ' ' so a plain-SQL oracle can reproduce the
+    expected output (see __spark_entry__.py).
+    """
+
+    @F.pandas_udf(EXTRACT_RESULT_TYPE)
+    def extract(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # import inside the UDF: runs on executors after --py-files ship
+        from ocr_service_spark.kernel.dispatch import extract_document
+
+        for payloads in batches:
+            texts, spans, kinds, n_nodes, n_content, charsets, errors = (
+                [], [], [], [], [], [], [])
+            for raw in payloads:
+                r = extract_document(bytes(raw) if raw is not None else None,
+                                     separator=separator)
+                texts.append(r.text)
+                spans.append(
+                    [
+                        {"start": s, "end": e, "node_idx": ni, "confidence": c}
+                        for (s, e, ni, c) in r.spans
+                    ]
+                )
+                kinds.append(r.kind)
+                n_nodes.append(r.n_nodes)
+                n_content.append(r.n_content)
+                charsets.append(r.charset)
+                errors.append(r.error)
+            yield pd.DataFrame(
+                {
+                    "text": texts,
+                    "spans": spans,
+                    "kind": kinds,
+                    "n_nodes": pd.array(n_nodes, dtype="int32"),
+                    "n_content": pd.array(n_content, dtype="int32"),
+                    "charset": charsets,
+                    "error": errors,
+                }
+            )
+
+    return extract
+
+
+def with_extraction(df, html_col: str = "html", out_col: str = "extraction",
+                    separator: str = "\n\n"):
+    """df + one struct column with the extraction result. Single
+    projection — Catalyst keeps it in the same stage as the scan, so
+    the whole extract path is scan→ArrowEvalPython→project with no
+    shuffle."""
+    udf = make_extract_udf(separator=separator)
+    return df.withColumn(out_col, udf(F.col(html_col)))

@@ -1,0 +1,102 @@
+"""End-to-end Spark pipeline tests: byte-identity vs the kernel oracle,
+dedup semantics, plan hygiene (Arrow-only Python), determinism across
+parallelism (the north rule's two-cluster-size criterion, proxied by
+shuffle-partition variation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_service_spark.corpus import corpus_df, gen_docs
+from ocr_service_spark.kernel.dispatch import extract_document
+from ocr_service_spark.pipeline import extract_documents, process_documents
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = corpus_df(spark, N, partitions=8).cache()
+    df.count()
+    return df
+
+
+def test_extraction_byte_identity(spark, docs):
+    out = extract_documents(docs).select("doc_id", "extracted_text").collect()
+    got = {r.doc_id: r.extracted_text for r in out}
+    for d in gen_docs(N):
+        if d.kind == "malformed":
+            continue
+        assert got[d.doc_id] == d.expected_text, f"doc {d.doc_id}"
+
+
+def test_error_rows_flagged_not_dropped(spark, docs):
+    out = extract_documents(docs)
+    errs = out.filter(F.col("error").isNotNull()).count()
+    assert errs >= 1  # the real-PDF stub docs
+    assert out.count() == N
+
+
+def test_no_per_row_python_in_plan(spark, docs):
+    plan = extract_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, "per-row Python UDF on hot path"
+    assert ("ArrowEvalPython" in plan) or ("MapInArrow" in plan) or (
+        "MapInPandas" in plan)
+
+
+def test_dedup_keeps_latest(spark, docs):
+    result = process_documents(docs, dedup=True)
+    rows = result.select("url", "warc_ts").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)), "one row per url"
+    # duplicate urls must resolve to the max warc_ts crawl
+    dups = {}
+    for d in gen_docs(N):
+        if d.kind == "malformed":
+            continue
+        dups.setdefault(d.url, []).append(d)
+    got_ts = {r.url: r.warc_ts for r in rows}
+    for url, versions in dups.items():
+        if len(versions) > 1 and url in got_ts:
+            assert got_ts[url] == max(v.warc_ts.replace(tzinfo=None)
+                                      for v in versions)
+
+
+def test_full_pipeline_schema_and_fields(spark, docs):
+    result = process_documents(docs).cache()
+    row = (
+        result.filter(
+            (F.col("lang") == "ru") & (F.col("kind") == "html")
+            & F.col("critical_fields.ogrn.valid")
+        )
+        .select("critical_fields", "important_data", "overall_quality",
+                "needs_review", "document_id")
+        .first()
+    )
+    assert row is not None, "seeded OGRN docs must validate"
+    assert row.critical_fields.ogrn.confidence == 0.9
+    assert len(row.critical_fields.ogrn.value) in (13, 15)
+    assert row.important_data.inn is not None
+    assert 0.0 <= row.overall_quality <= 1.0
+    # deterministic id (F14): url-derived, no uuid
+    assert row.document_id.endswith(row.document_id.split("_")[-1])
+    result.unpersist()
+
+
+def test_determinism_across_parallelism(spark, docs):
+    """Same input, different shuffle widths ⇒ identical checksum
+    (proxy for the N vs 4N executor identity required by north_rule)."""
+
+    def checksum(n_shuffle):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+        try:
+            out = process_documents(docs, n_salts=7)
+            return (
+                out.select(
+                    F.bit_xor(F.xxhash64("url", "extracted_text",
+                                         "needs_review")).alias("h")
+                ).collect()[0].h
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    assert checksum(2) == checksum(32)
