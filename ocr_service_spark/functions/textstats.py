@@ -1,0 +1,101 @@
+"""Text-analysis column builders for the training-data tier: token
+statistics, language profiling, document fingerprinting, shingling.
+
+All pure `pyspark.sql.functions` expressions (whole-stage codegen, no
+Python on the hot path). Fingerprints use md5 hex strings so any SQL
+engine (the DuckDB oracle included) reproduces them bit-for-bit;
+numeric hashes derive from the first 15 md5 hex chars (60 bits, always
+< 2^63, portable via hex→int casts).
+
+Reference analogs: word counting F9 (core/ocr_engine.py:281), text
+length F10, Cyrillic detection F5 (core/correctors.py:177-199); the
+fingerprint/shingle tier is new capability required by the
+training-data pipeline mandate (no reference analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "tokens",
+    "token_hash",
+    "shingles",
+    "minhash_expr",
+    "stop_ratio",
+    "bpe_ish_count",
+    "MINHASH_PRIME",
+]
+
+MINHASH_PRIME = 1_000_000_007
+# (a, b) pairs for the universal-hash family h(x) = (a*x + b) mod p,
+# fixed constants shared with the DuckDB oracle generator.
+MINHASH_COEFFS = [
+    (824633720837, 886294811),
+    (627189298, 95189161),
+    (364960910113, 683975923),
+    (192388901, 711023817),
+    (541103927297, 325778251),
+    (881913289, 63237751),
+    (746586589681, 128982043),
+    (279578219, 944270587),
+]
+
+
+def tokens(text: Column) -> Column:
+    """Single-space tokenization — the driver corpus is single-spaced;
+    general text should be whitespace-normalized first (F6)."""
+    return F.split(text, " ")
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5.
+    Spark: conv(...,16,10); DuckDB oracle: ('0x'||substr(md5,1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; documents shorter than n tokens
+    collapse to a single whole-text shingle."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(text))
+    )
+
+
+def minhash_expr(shingle_hash_mod: Column, k: int = 8) -> list[Column]:
+    """k minhash aggregation columns over an exploded
+    `shingle_hash_mod` column (already reduced mod MINHASH_PRIME so
+    a*x+b stays inside int64)."""
+    return [
+        F.min(
+            (F.lit(a % MINHASH_PRIME) * shingle_hash_mod + F.lit(b)) % MINHASH_PRIME
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    ]
+
+
+def minhash_sql_term(i: int, x_expr: str) -> str:
+    """The DuckDB-side twin of minhash_expr for hash i."""
+    a, b = MINHASH_COEFFS[i]
+    return f"MIN(({a % MINHASH_PRIME} * {x_expr} + {b}) % {MINHASH_PRIME})"
+
+
+def stop_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords (language-ID signal)."""
+    toks = tokens(text)
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, single
+    punctuation — a cheap proxy for BPE token counts."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z\p{L}]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )

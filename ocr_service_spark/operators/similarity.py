@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (training-data tier).
+
+Two strategies, both pure DataFrame ops (no Python on the hot path):
+
+- `cosine_topk`: brute-force cosine top-k — broadcast the (small)
+  query set against the corpus, higher-order-function dot products,
+  per-query window ranking. At 100 TB this is the exact-baseline: one
+  broadcast, no shuffle until the (tiny) per-query top-k aggregation.
+
+- `lsh_bucket` / `lsh_topk`: random-hyperplane LSH — bucket id =
+  sign-bit vector of `n_planes` fixed hyperplane dot products. The
+  corpus is bucketed once (8 ints per row), candidates come from a
+  bucket equi-join instead of a full cross product: the scale path
+  when the query set is large. Hyperplanes are deterministic
+  (seeded), shared verbatim with the DuckDB oracle.
+
+Determinism: ranking happens on cosine ROUNDED to 6 decimals with
+vec_id as tiebreak, so float noise below 1e-6 can never flip an
+ordering between engines or parallelism levels.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["HYPERPLANES", "dot", "norm", "cosine", "cosine_topk", "lsh_bucket_expr", "lsh_topk"]
+
+
+def _gen_hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[int]]:
+    """INTEGER hyperplane components (uniform in [-1e6, 1e6]): integers
+    are exact in every engine, so the sign of the dot product — hence
+    the bucket id — can't be flipped by decimal-literal parsing
+    differences between Spark and the oracle."""
+    rng = random.Random(seed)
+    return [
+        [rng.randint(-1_000_000, 1_000_000) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+HYPERPLANES = _gen_hyperplanes()
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (F.aggregate folds in element
+    order — same order the oracle's list_sum uses)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, ndigits: int = 6) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), ndigits)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query row (self-match excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    joined = emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """Hyperplane-sign bucket id: bit j set iff dot(vec, plane_j) > 0."""
+    planes = planes or HYPERPLANES
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+    The corpus-side bucket column is computed once in the scan stage;
+    the join is a plain equi-join on bucket (shuffle/broadcast decided
+    by AQE) — this is what replaces the cross product at scale."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_expr(F.col(vec_col)).alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    cand = bucketed.join(F.broadcast(q), on="bucket").filter(
+        F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

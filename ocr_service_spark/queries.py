@@ -624,3 +624,616 @@ def feedback_mining(spark, sf_dir):
         .orderBy(F.desc("occurrences"), F.desc("avg_confidence"), F.asc("original"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Extraction tier (the flagship M1 path, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "extract_roundtrip",
+    oracle="""
+    SELECT doc_id, text AS extracted_text, 'html' AS kind
+    FROM documents
+    """,
+)
+def extract_roundtrip(spark, sf_dir):
+    """End-to-end extraction byte-identity against a plain-SQL oracle:
+    each document's text is rendered into a full boilerplated page
+    (nav/header/breadcrumbs/aside/footer + link farms,
+    kernel/htmlgen.htmlify_roundtrip), pushed through the Arrow-batched
+    extraction UDF (M1: tokenize → DOM node array → density classify →
+    span assembly), and must come back byte-identical to the original
+    text — boilerplate rejected structurally, article text intact.
+    Plan shape: scan → mapInPandas(render) → ArrowEvalPython(extract)
+    → project; zero shuffles."""
+    from ocr_service_spark.entry_pipeline import htmlified_documents
+    from ocr_service_spark.operators.extract import with_extraction
+
+    docs = htmlified_documents(spark, sf_dir)
+    out = with_extraction(docs, "html", "x", separator=" ")
+    return out.select(
+        "doc_id",
+        F.col("x.text").alias("extracted_text"),
+        F.col("x.kind").alias("kind"),
+    )
+
+
+@query(
+    "field_validation",
+    oracle=None,  # filled below (generated per-field SQL)
+)
+def field_validation(spark, sf_dir):
+    """P13/F7 field extraction + validation as native regexp exprs over
+    a deterministically synthesized Russian document text (both engines
+    build the identical string, so regex semantics are compared
+    directly). Phone parity is covered by the kernel pytest suite
+    instead — its pattern is ambiguous over long digit runs. Reference:
+    core/validators.py:25-76 patterns, 85-117 validate loop."""
+    from ocr_service_spark.operators.validate import field_struct
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_FIELD_TXT).alias("txt"))
+    cols = [F.col("doc_id")]
+    for name in ("ogrn", "inn", "kpp", "date", "snils", "email"):
+        s = field_struct(F.col("txt"), name)
+        cols += [
+            s["value"].alias(f"{name}_value"),
+            s["valid"].alias(f"{name}_valid"),
+            s["confidence"].alias(f"{name}_conf"),
+        ]
+    return t.select(*cols)
+
+
+# the synthesized doc text — valid in BOTH Spark SQL and DuckDB
+_FIELD_TXT = (
+    "'ОГРН ' || lpad(cast(doc_id as string), 13, '7')"
+    " || ' ИНН ' || lpad(cast(doc_id as string), 10, '5')"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ' КПП ' || lpad(cast(doc_id as string), 9, '1') ELSE '' END)"
+    " || ' от ' || lpad(cast(1 + doc_id % 28 as string), 2, '0')"
+    " || '.' || lpad(cast(1 + doc_id % 12 as string), 2, '0')"
+    " || '.' || cast(1990 + doc_id % 35 as string)"
+    " || (CASE WHEN doc_id % 5 <> 0 THEN ' контакт user' || cast(doc_id as string) || '@mail.example.com' ELSE '' END)"
+    " || ' СНИЛС ' || lpad(cast(doc_id as string), 11, '9')"
+)
+
+_FIELD_ORACLE_DEFS = {
+    "ogrn": (r"\b\d{13,15}\b",
+             r"length(regexp_replace(v, '\D', '', 'g')) IN (13, 15)"),
+    "inn": (r"\b\d{10,12}\b",
+            r"length(regexp_replace(v, '\D', '', 'g')) IN (10, 12)"),
+    "kpp": (r"\b\d{9}\b", r"length(regexp_replace(v, '\D', '', 'g')) = 9"),
+    "date": (r"\b\d{1,2}[./-]\d{1,2}[./-]\d{2,4}\b",
+             r"regexp_matches(v, '^\d{1,2}[./-]\d{1,2}[./-]\d{2,4}')"),
+    "snils": (r"\b\d{3}-\d{3}-\d{3}\s\d{2}\b|\b\d{11}\b",
+              r"length(regexp_replace(v, '\D', '', 'g')) = 11"),
+    "email": (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b",
+              r"regexp_matches(v, '@[^@]*\.')"),
+}
+
+
+def _field_oracle() -> str:
+    parts = ["doc_id"]
+    for name, (pat, valid) in _FIELD_ORACLE_DEFS.items():
+        cands = (
+            f"list_transform(regexp_extract_all(txt, '{pat}'), "
+            f"v -> trim(regexp_replace(v, '\\s+', ' ', 'g')))"
+        )
+        parts.append(
+            f"coalesce(list_filter({cands}, v -> {valid})[1], ({cands})[1], '') AS {name}_value"
+        )
+        parts.append(f"len(list_filter({cands}, v -> {valid})) > 0 AS {name}_valid")
+        parts.append(
+            f"CASE WHEN len(list_filter({cands}, v -> {valid})) > 0 THEN 0.9 "
+            f"WHEN len({cands}) > 0 THEN 0.5 ELSE 0.0 END AS {name}_conf"
+        )
+    sel = ",\n           ".join(parts)
+    return (
+        f"WITH t AS (SELECT doc_id, {_FIELD_TXT} AS txt FROM documents)\n"
+        f"    SELECT {sel} FROM t"
+    )
+
+
+ORACLE_SQL["field_validation"] = _field_oracle()
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           ROUND(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) / length(text), 4) AS alpha_ratio,
+           ROUND(least(1.0, length(text) / 200.0), 4) AS length_score,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           greatest(0.0, least(1.0, ROUND(
+             0.3 * (length(regexp_replace(text, '[^\\p{L}]', '', 'g')) / length(text))
+             + 0.5 * 0.9
+             + 0.2 * least(1.0, length(text) / 200.0), 4))) AS overall_quality
+    FROM documents
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    """F17 quality scoring as pure column arithmetic (graft of the
+    reference's image-quality weighted mix,
+    services/quality_check.py:193-199) over the documents table, with a
+    fixed 0.9 extraction confidence (the UDF-produced value in the full
+    pipeline)."""
+    from ocr_service_spark.operators.quality import overall_quality, text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.withColumn("qs", text_quality(F.col("text")))
+    return q.select(
+        "doc_id",
+        F.round(F.col("qs.alpha_ratio"), 4).alias("alpha_ratio"),
+        F.round(F.col("qs.length_score"), 4).alias("length_score"),
+        F.col("qs.n_chars").alias("n_chars"),
+        F.col("qs.n_tokens").alias("n_tokens"),
+        overall_quality(
+            F.col("qs.alpha_ratio"), F.lit(0.9), F.col("qs.length_score")
+        ).alias("overall_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis tier (training-data pipeline: lang-ID, token stats,
+# fingerprinting) — SURVEY.md §2.8 + task mandate
+# ---------------------------------------------------------------------------
+
+_EN_STOPS = ("the", "a")
+
+
+@query(
+    "lang_profile",
+    oracle=f"""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                 / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
+           regexp_matches(text, '[Ѐ-ӿ]') AS has_cyrillic,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                THEN 'en' ELSE 'other' END AS guess_lang
+    FROM documents
+    """,
+)
+def lang_profile(spark, sf_dir):
+    """Stopword-ratio language ID + Cyrillic detection (F5,
+    core/correctors.py:177-199) — the n-gram-heuristic lang-ID of the
+    training-data tier as pure exprs."""
+    from ocr_service_spark.functions.textstats import stop_ratio, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sr = stop_ratio(F.col("text"), _EN_STOPS)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        sr.alias("stop_ratio"),
+        F.col("text").rlike("[Ѐ-ӿ]").alias("has_cyrillic"),
+        F.when(sr >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("guess_lang"),
+    )
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           ROUND(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting for the training-data tier (whitespace + BPE-ish
+    regex segmentation; reference analog F9 word count,
+    core/ocr_engine.py:281)."""
+    from ocr_service_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+            / F.size(toks), 4,
+        ).alias("avg_token_len"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+                  ELSE [text] END AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           substr(md5(text), 1, 8) AS fp8,
+           list_min(list_transform(sh, g -> md5(g))) AS minshingle_md5,
+           len(sh) AS n_shingles
+    FROM s
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-content md5, 8-hex prefix, and
+    the lexicographic-min 3-gram shingle hash (a 1-permutation MinHash
+    — the rolling-fingerprint of the training-data tier). All hex
+    strings: portable across engines bit-for-bit."""
+    from ocr_service_spark.functions.textstats import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.substring(F.md5("text"), 1, 8).alias("fp8"),
+        F.array_min(F.transform(sh, F.md5)).alias("minshingle_md5"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_q(spark, sf_dir):
+    """Exact content dedup via hash-groupBy (training-data tier;
+    operators/dedup.exact_text_dedup). Map-side combinable; at 10^12
+    rows the md5 group keys distribute uniformly — no salt needed."""
+    from ocr_service_spark.operators.dedup import exact_text_dedup
+
+    return exact_text_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
+             i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))))) AS g
+      FROM t WHERE len(toks) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.a_id, p.b_id, p.common,
+           ROUND(p.common / (sa.n + sb.n - p.common), 4) AS jaccard
+    FROM pairs p JOIN sizes sa ON p.a_id = sa.doc_id
+                 JOIN sizes sb ON p.b_id = sb.doc_id
+    WHERE p.common / (sa.n + sb.n - p.common) >= 0.02
+    """,
+)
+def jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup detection: explode distinct 3-gram
+    shingle hashes, self-equi-join on shingle, count common shingles
+    per pair, Jaccard = |∩| / |∪|. The shingle join is the scalable
+    shape (shuffle on shingle hash, never a doc×doc cross product);
+    skew guard at 10^12 docs = drop top-frequency shingles first."""
+    from ocr_service_spark.functions.textstats import shingles, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id",
+        F.explode(F.transform(shingles(F.col("text"), 3), F.md5)).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("common") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        pairs.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .filter(j >= 0.02)
+        .select("a_id", "b_id", "common", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash near-dup tier (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def _shingle_hash_sql() -> str:
+    """DuckDB twin of textstats.token_hash(...) % MINHASH_PRIME over
+    exploded 3-gram shingles."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n"
+        "    sh AS (SELECT doc_id,\n"
+        "      ('0x' || substr(unnest(list_distinct(list_transform(range(0, len(toks) - 2),\n"
+        "        i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))))), 1, 15))::BIGINT\n"
+        "        % 1000000007 AS x\n"
+        "      FROM t WHERE len(toks) >= 3)\n"
+    )
+
+
+def _minhash_select() -> str:
+    from ocr_service_spark.functions.textstats import MINHASH_COEFFS, MINHASH_PRIME
+
+    terms = ", ".join(
+        f"MIN(({a % MINHASH_PRIME} * x + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"SELECT doc_id, {terms} FROM sh GROUP BY doc_id"
+
+
+@query("minhash_signatures", oracle=None)
+def minhash_signatures(spark, sf_dir):
+    """K=8 MinHash signatures over 3-gram shingles: universal-hash
+    family h_i(x) = (a_i*x + b_i) mod p applied to a portable 60-bit
+    shingle hash (first 15 md5 hex chars). One explode + one groupBy —
+    map-side combinable mins, uniform keys, no skew at any scale."""
+    from ocr_service_spark.functions.textstats import (
+        MINHASH_PRIME, minhash_expr, shingles, token_hash, tokens)
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
+    x = (token_hash(F.col("g")) % MINHASH_PRIME).alias("x")
+    return sh.select("doc_id", x).groupBy("doc_id").agg(*minhash_expr(F.col("x")))
+
+
+ORACLE_SQL["minhash_signatures"] = _shingle_hash_sql() + "    " + _minhash_select()
+
+
+@query("minhash_lsh_pairs", oracle=None)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH banding: 8 signatures → 4 bands of 2; candidate
+    pairs share at least one full band; est_sim = fraction of equal
+    signatures. The band explode + self-equi-join on (band, key) is the
+    scale path — candidate generation never compares doc×doc."""
+    from ocr_service_spark.functions.textstats import (
+        MINHASH_PRIME, minhash_expr, shingles, token_hash, tokens)
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
+    x = (token_hash(F.col("g")) % MINHASH_PRIME).alias("x")
+    sigs = sh.select("doc_id", x).groupBy("doc_id").agg(*minhash_expr(F.col("x")))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws("_", f"mh{2 * bi}", f"mh{2 * bi + 1}").alias("key"),
+                )
+                for bi in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        cand.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", "n_shared_bands",
+                F.round(eq / F.lit(8.0), 4).alias("est_sim"))
+    )
+
+
+def _minhash_pairs_oracle() -> str:
+    eq = " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, cast(mh{2*bi} as varchar) || '_' || cast(mh{2*bi+1} as varchar) AS key FROM sigs"
+        for bi in range(4)
+    )
+    return (
+        _shingle_hash_sql()
+        + "    , sigs AS (" + _minhash_select() + "),\n"
+        + f"    bands AS ({bands}),\n"
+        + "    cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_bands\n"
+        + "      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id\n"
+        + "      GROUP BY a.doc_id, b.doc_id)\n"
+        + f"    SELECT c.a_id, c.b_id, c.n_shared_bands, ROUND(({eq}) / 8.0, 4) AS est_sim\n"
+        + "    FROM cand c JOIN sigs sa ON c.a_id = sa.doc_id JOIN sigs sb ON c.b_id = sb.doc_id"
+    )
+
+
+ORACLE_SQL["minhash_lsh_pairs"] = _minhash_pairs_oracle()
+
+
+_SIMHASH_BITS = 32
+
+
+@query("simhash", oracle=None)
+def simhash(spark, sf_dir):
+    """32-bit SimHash over token hashes: explode tokens (with
+    multiplicity), one conditional ±1 sum per bit, reassemble the
+    fingerprint. Single shuffle on doc_id with 32 map-side-combinable
+    sums — the standard near-dup fingerprint at corpus scale."""
+    from ocr_service_spark.functions.textstats import token_hash, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = toks.select("doc_id", token_hash(F.col("tok")).alias("h"))
+    sums = h.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ])
+    fp = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        for b in range(_SIMHASH_BITS)
+    )
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash32"))
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(_SIMHASH_BITS)
+    )
+    return (
+        "WITH h AS (SELECT doc_id,\n"
+        "      ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h\n"
+        "    FROM documents),\n"
+        f"    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)\n"
+        f"    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash32 FROM s"
+    )
+
+
+ORACLE_SQL["simhash"] = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity tier (ANN over array<float>)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "ROUND(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))\n"
+    "      / (sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))\n"
+    "         * sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)"
+)
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="e.embedding")} AS cos_sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s
+    ) WHERE rnk <= 5
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (training-data tier):
+    broadcast the query set, higher-order-function dot products (JVM
+    codegen, no Python), per-query window rank. Ties broken on rounded
+    similarity + vec_id so both engines agree bit-for-bit."""
+    from ocr_service_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("embedding_lsh_ann", oracle=None)
+def embedding_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path): 8 integer hyperplanes give a
+    256-bucket partition of the corpus; candidates come from a bucket
+    equi-join instead of a cross product. Integer plane components keep
+    the sign — hence the bucket — identical in any engine."""
+    from ocr_service_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+def _lsh_oracle() -> str:
+    from ocr_service_spark.operators.similarity import HYPERPLANES
+
+    def bucket(v: str) -> str:
+        bits = []
+        for j, plane in enumerate(HYPERPLANES):
+            lits = ", ".join(f"{c}::DOUBLE" for c in plane)
+            bits.append(
+                f"CASE WHEN list_sum(list_transform(range(1, len({v}) + 1),"
+                f" i -> {v}[i]::DOUBLE * (list_value({lits}))[i])) > 0 THEN {2 ** j} ELSE 0 END"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 20),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="q.qv", b="e.embedding")} AS cos_sim
+      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s
+    ) WHERE rnk <= 3
+    """
+
+
+ORACLE_SQL["embedding_lsh_ann"] = _lsh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (decode stub, real Arrow UDF path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           ascii(substr(text, 1, 1)) % 64 + 1 AS width,
+           ascii(substr(text, 2, 1)) % 64 + 1 AS height,
+           octet_length(encode(text)) % 7 + 1 AS n_frames,
+           'fake/deterministic' AS codec
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal column plumbing: treat the text's utf-8 bytes as an
+    opaque binary payload, run the iterator-UDF decode stage
+    (operators/multimodal.py), emit the typed metadata struct
+    flattened. The decode itself is a deterministic stub (no codec libs
+    in this container) — the Spark-side schema/batching/partitioning is
+    the real production shape. Oracle recomputes the same metadata from
+    the text with SQL byte functions (ASCII corpus ⇒ ascii(char) ==
+    first byte)."""
+    from ocr_service_spark.operators.multimodal import with_media_meta
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = with_media_meta(docs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+        F.col("media_meta.width").cast("bigint").alias("width"),
+        F.col("media_meta.height").cast("bigint").alias("height"),
+        F.col("media_meta.n_frames").cast("bigint").alias("n_frames"),
+        F.col("media_meta.codec").alias("codec"),
+    )
