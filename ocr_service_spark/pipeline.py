@@ -70,11 +70,17 @@ def process_documents(
 ) -> DataFrame:
     """Full result-record pipeline (P1 final projection)."""
     names = field_names or list(FIELD_EXPRS)
+    # Dedup FIRST, on the raw crawl rows: the expensive extraction UDF
+    # never runs for rows that lose the keep-latest race. At 10^12 rows
+    # this also means the html payload crosses the wire exactly once
+    # (salted two-phase max-of-struct), and extraction executes
+    # pipelined in the post-shuffle stage. With an Iceberg table
+    # bucketed by url-hash the exchange disappears entirely.
+    if dedup:
+        docs = dedup_latest(docs, key="url", order_cols=("warc_ts", "doc_id"),
+                            n_salts=n_salts)
     extracted = extract_documents(docs)
     ok = extracted.filter(F.col("error").isNull())
-    if dedup:
-        ok = dedup_latest(ok, key="url", order_cols=("warc_ts", "doc_id"),
-                          n_salts=n_salts)
 
     txt = F.col("extracted_text")
     span_conf = F.coalesce(

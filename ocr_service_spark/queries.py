@@ -1237,3 +1237,89 @@ def multimodal_meta(spark, sf_dir):
         F.col("media_meta.n_frames").cast("bigint").alias("n_frames"),
         F.col("media_meta.codec").alias("codec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lineage/restart + streaming tiers (rows-only where not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@query("lineage_restart", oracle=None)
+def lineage_restart(spark, sf_dir):
+    """North-rule restart contract, exercised live: run the extraction
+    pipeline bucket-committed with per-partition lineage, crash after 3
+    of 8 buckets, restart, then verify every bucket's lineage
+    (row count + checksum) against the recomputed data. Returns the
+    verification table — the driver sees all ok=true. Rows-only check:
+    the filesystem side effects aren't SQL-expressible."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_service_spark.entry_pipeline import htmlified_documents
+    from ocr_service_spark.lineage import run_with_lineage, verify_lineage
+    from ocr_service_spark.pipeline import process_documents
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    out = tempfile.mkdtemp(prefix="lineage_", dir="/root/repo/.tmp")
+    shutil.rmtree(out, ignore_errors=True)
+    result = process_documents(htmlified_documents(spark, sf_dir))
+    run_with_lineage(spark, result, out, n_buckets=8,
+                     max_buckets_this_run=3, run_id="r1")  # "crash"
+    run_with_lineage(spark, result, out, n_buckets=8, run_id="r2")  # restart
+    return verify_lineage(spark, out).select("bucket", "n_rows", "ok")
+
+
+@query(
+    "streaming_feedback",
+    oracle="""
+    WITH feedback AS (
+      SELECT concat('w', CAST(event_id % 50 AS VARCHAR)) AS original,
+             upper(concat('w', CAST(event_id % 50 AS VARCHAR))) AS corrected,
+             ROUND((event_id % 100) / 100.0, 2) AS confidence,
+             (event_id % 4 = 0) AS applied
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT original, corrected,
+           ROUND(AVG(confidence), 4) AS confidence
+    FROM feedback
+    WHERE NOT applied
+    GROUP BY original, corrected
+    HAVING COUNT(*) >= 2 AND ROUND(AVG(confidence), 4) >= 0.7
+    """,
+)
+def streaming_feedback(spark, sf_dir):
+    """T1-T2 live: synthesize a feedback stream from the events table
+    (same derivation as feedback_mining), drop it as JSON, run ONE
+    availableNow Structured-Streaming pass of the auto-learning loop
+    (append → threshold mining → anti-join → corrections append →
+    applied-flag write-back), and return the learned corrections table.
+    The oracle recomputes what the loop must have learned with plain
+    SQL over the same events."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_service_spark.streaming.feedback import run_feedback_loop
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    base = tempfile.mkdtemp(prefix="stream_", dir="/root/repo/.tmp")
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = f"{base}/drop"
+    state = f"{base}/state"
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    fb = e.select(
+        F.concat(F.lit("feedback_"), F.col("event_id").cast("string")).alias("id"),
+        F.lit("correction").alias("type"),
+        F.concat(F.lit("w"), (F.col("event_id") % 50).cast("string")).alias("original"),
+        F.upper(F.concat(F.lit("w"), (F.col("event_id") % 50).cast("string"))).alias("corrected"),
+        F.concat(F.lit("doc_"), F.col("event_id").cast("string")).alias("document_id"),
+        F.lit("ctx").alias("context"),
+        F.round((F.col("event_id") % 100) / 100.0, 2).alias("confidence"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        (F.col("event_id") % 4 == 0).alias("applied"),
+    )
+    fb.coalesce(4).write.mode("overwrite").json(in_dir)
+    run_feedback_loop(spark, in_dir, state, min_occurrences=2, min_confidence=0.7)
+    corr = spark.read.parquet(f"{state}/corrections")
+    return corr.select("original", "corrected", "confidence")

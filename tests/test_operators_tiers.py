@@ -1,0 +1,118 @@
+"""Unit tests for the training-data operator tiers: text stats,
+fingerprints, minhash/simhash, embedding similarity, multimodal
+plumbing, salted dedup determinism."""
+
+import pyspark.sql.functions as F
+
+from ocr_service_spark.functions.textstats import (
+    MINHASH_PRIME,
+    minhash_expr,
+    shingles,
+    stop_ratio,
+    token_hash,
+    tokens,
+)
+from ocr_service_spark.operators.dedup import dedup_latest, exact_text_dedup
+from ocr_service_spark.operators.multimodal import decode_stub, with_media_meta
+from ocr_service_spark.operators.similarity import HYPERPLANES, cosine_topk, lsh_topk
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_and_short_doc_fallback(spark):
+    out = _docs(spark).select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[0][0] == "the quick brown"
+    assert by_id[4] == ["tiny"], "short docs collapse to whole-text shingle"
+    assert by_id[0] == by_id[3]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = _docs(spark).select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
+    sigs = (
+        df.select("doc_id", (token_hash(F.col("g")) % MINHASH_PRIME).alias("x"))
+        .groupBy("doc_id")
+        .agg(*minhash_expr(F.col("x")))
+    ).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sigs}
+    assert by_id[0] == by_id[3], "identical docs → identical signatures"
+    # near-dups (one word differs) share most minhashes; disjoint docs none
+    share_01 = sum(a == b for a, b in zip(by_id[0], by_id[1]))
+    share_02 = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    assert share_01 > share_02
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_text_dedup(_docs(spark), "text", "doc_id").collect()
+    groups = {r.content_hash: (r.keeper_id, r.n_dups) for r in out}
+    assert len(groups) == 4
+    assert (0, 2) in groups.values(), "dup pair keeps min doc_id"
+
+
+def test_stop_ratio(spark):
+    r = _docs(spark).select("doc_id", stop_ratio(F.col("text"), ("the",)).alias("s")).collect()
+    by_id = {x.doc_id: x.s for x in r}
+    assert by_id[0] == round(2 / 9, 4)
+    assert by_id[2] == 0.0
+
+
+def test_cosine_topk_finds_near_duplicate(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].cos_sim > 0.99
+
+
+def test_lsh_topk_same_bucket_neighbors(spark):
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(0, base), (1, [x + rng.uniform(-0.01, 0.01) for x in base]),
+            (2, [-x for x in base])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    ids = [r.neighbor_id for r in out]
+    assert 1 in ids, "jittered twin lands in the same bucket"
+    assert 2 not in ids, "antipode lands in the complementary bucket"
+    assert len(HYPERPLANES) == 8 and len(HYPERPLANES[0]) == 64
+
+
+def test_multimodal_meta_matches_stub(spark):
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b""), (3, None)],
+        "id long, payload binary")
+    out = {r.id: r.m for r in with_media_meta(df, "payload", "m").collect()}
+    exp = decode_stub(b"hello world")
+    assert out[1].n_bytes == 11 and out[1].sha256 == exp["sha256"]
+    assert out[1].width == exp["width"] and out[1].n_frames == exp["n_frames"]
+    assert out[2].n_bytes == 0 and out[2].sha256 is None
+    assert out[3].n_bytes == 0
+
+
+def test_dedup_latest_salt_invariance(spark):
+    rows = [(f"u{i % 7}", i, f"p{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "url string, ts long, payload string")
+    a = {(r.url, r.ts) for r in
+         dedup_latest(df, key="url", order_cols=("ts",), n_salts=1).collect()}
+    b = {(r.url, r.ts) for r in
+         dedup_latest(df, key="url", order_cols=("ts",), n_salts=13).collect()}
+    assert a == b
+    assert len(a) == 7
+    assert all(ts >= 93 for _, ts in a)

@@ -1,0 +1,113 @@
+"""Structured-Streaming feedback loop tests (T1-T5): threshold-gated
+auto-learning, anti-join vs known corrections, applied-flag
+write-back, checkpointed re-run is a no-op."""
+
+import json
+
+from ocr_service_spark.streaming.feedback import (
+    FEEDBACK_SCHEMA,
+    feedback_rate,
+    mine_candidates,
+    run_feedback_loop,
+)
+
+
+def _drop(dirpath, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    p = dirpath / f"batch_{len(list(dirpath.iterdir()))}.json"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _fb(i, orig, corr, conf, applied=False, typ="correction"):
+    return {
+        "id": f"feedback_{i}",
+        "type": typ,
+        "original": orig,
+        "corrected": corr,
+        "document_id": f"doc_{i}",
+        "context": "ctx",
+        "confidence": conf,
+        "ts": f"2025-01-01T00:{i:02d}:00",
+        "applied": applied,
+    }
+
+
+def test_feedback_loop_auto_learns(spark, tmp_path):
+    in_dir = tmp_path / "drop"
+    state = str(tmp_path / "state")
+    _drop(in_dir, [
+        _fb(1, "teh", "the", 0.9),
+        _fb(2, "teh", "the", 0.8),          # pair hits count>=2, avg>=0.7
+        _fb(3, "lone", "alone", 0.9),       # count 1 → not learned
+        _fb(4, "weak", "week", 0.3),
+        _fb(5, "weak", "week", 0.4),        # avg 0.35 < 0.7 → not learned
+    ])
+    run_feedback_loop(spark, str(in_dir), state)
+
+    corr = spark.read.parquet(f"{state}/corrections")
+    learned = {(r.original, r.corrected) for r in corr.collect()}
+    assert learned == {("teh", "the")}
+
+    fb = spark.read.parquet(f"{state}/feedback")
+    applied = {r.original: r.applied for r in fb.collect()}
+    assert applied["teh"] is True          # mark_corrections_applied
+    assert applied["lone"] is False
+
+    # re-run with no new files: checkpoint makes it a no-op
+    run_feedback_loop(spark, str(in_dir), state)
+    assert spark.read.parquet(f"{state}/corrections").count() == 1
+    assert spark.read.parquet(f"{state}/feedback").count() == 5
+
+
+def test_feedback_loop_second_batch_antijoins_known(spark, tmp_path):
+    in_dir = tmp_path / "drop"
+    state = str(tmp_path / "state")
+    _drop(in_dir, [_fb(1, "teh", "the", 0.9), _fb(2, "teh", "the", 0.8)])
+    run_feedback_loop(spark, str(in_dir), state)
+    # more of the SAME pair + one new pair over threshold
+    _drop(in_dir, [
+        _fb(6, "teh", "the", 0.95),
+        _fb(7, "recieve", "receive", 0.9),
+        _fb(8, "recieve", "receive", 0.9),
+    ])
+    run_feedback_loop(spark, str(in_dir), state)
+    corr = spark.read.parquet(f"{state}/corrections")
+    learned = {(r.original, r.corrected) for r in corr.collect()}
+    assert learned == {("teh", "the"), ("recieve", "receive")}
+    assert corr.count() == 2, "anti-join must prevent re-learning known pairs"
+
+
+def test_mine_candidates_thresholds(spark):
+    rows = [
+        ("a", "b", 0.9, False, "correction"),
+        ("a", "b", 0.9, False, "correction"),
+        ("c", "d", 0.9, True, "correction"),   # applied → excluded
+        ("c", "d", 0.9, False, "correction"),  # count 1 after filter
+    ]
+    fb = spark.createDataFrame(
+        rows, "original string, corrected string, confidence double, "
+              "applied boolean, type string")
+    got = {(r.original, r.corrected) for r in mine_candidates(fb, None).collect()}
+    assert got == {("a", "b")}
+
+
+def test_feedback_rate_windowing(spark, tmp_path):
+    in_dir = tmp_path / "drop"
+    _drop(in_dir, [_fb(i, "x", "y", 0.5) for i in range(1, 25)])
+    stream = spark.readStream.schema(FEEDBACK_SCHEMA).json(str(in_dir))
+    q = (
+        feedback_rate(stream, window="10 minutes")
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM rates").collect()
+    # 24 events at minutes 1..24 → tumbling windows 00:00 / 00:10 / 00:20
+    assert sum(r.n for r in rows) == 24
+    assert len(rows) == 3
