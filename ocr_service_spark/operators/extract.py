@@ -88,7 +88,14 @@ def make_extract_udf(separator: str = "\n\n"):
                 }
             )
 
-    return extract
+    # The kernel IS deterministic, but Catalyst treats deterministic
+    # UDFs as free to duplicate: a filter on a UDF-derived column (the
+    # error-skip predicate) gets pushed below the projection and the
+    # plan grows a SECOND ArrowEvalPython node — the whole corpus would
+    # be extracted twice. asNondeterministic() pins exactly one
+    # evaluation per row (verified by tests/test_pipeline_spark.py's
+    # single-node plan assertion).
+    return extract.asNondeterministic()
 
 
 def with_extraction(df, html_col: str = "html", out_col: str = "extraction",
