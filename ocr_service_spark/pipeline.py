@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ocr_service_spark.operators.correct import with_corrections
 from ocr_service_spark.operators.dedup import dedup_latest
 from ocr_service_spark.operators.extract import with_extraction
 from ocr_service_spark.operators.quality import (
@@ -82,7 +83,17 @@ def process_documents(
     extracted = extract_documents(docs)
     ok = extracted.filter(F.col("error").isNull())
 
-    txt = F.col("extracted_text")
+    # stage 5 autocorrect (processor.py:253): contextual digit fix +
+    # dictionary token map; validation then runs on the CORRECTED text
+    # (processor.py:279-282 validates post-correction)
+    ok = (
+        with_corrections(ok, "extracted_text", "correction")
+        .withColumn("corrected_text", F.col("correction.corrected_text"))
+        .withColumn("corrections_applied", F.col("correction.corrections"))
+        .drop("correction")
+    )
+
+    txt = F.col("corrected_text")
     span_conf = F.coalesce(
         F.round(
             F.aggregate(
@@ -131,6 +142,8 @@ def process_documents(
         "lang",
         "kind",
         "extracted_text",
+        "corrected_text",
+        "corrections_applied",
         "spans",
         "n_nodes",
         "n_content",

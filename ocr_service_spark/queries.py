@@ -1323,3 +1323,149 @@ def streaming_feedback(spark, sf_dir):
     run_feedback_loop(spark, in_dir, state, min_occurrences=2, min_confidence=0.7)
     corr = spark.read.parquet(f"{state}/corrections")
     return corr.select("original", "corrected", "confidence")
+
+
+# ---------------------------------------------------------------------------
+# Ordered concat / error mining / JSON / correction-kernel tiers
+# ---------------------------------------------------------------------------
+
+@query(
+    "ordered_concat",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+           COUNT(*) AS n
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    """,
+)
+def ordered_concat(spark, sf_dir):
+    """W3 ordered per-group concat (reference: pages joined in page
+    order, core/processor.py:207-221 — order-sensitive aggregation).
+    sort_array(collect_list(struct(...))) carries an explicit total
+    order (ts, event_id) so the concat is deterministic at any
+    parallelism — never a bare collect_list."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("journey"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "error_mining",
+    oracle="""
+    WITH c AS (
+      SELECT concat('e', CAST(event_id % 60 AS VARCHAR)) AS original,
+             concat('f', CAST((CASE WHEN event_id % 60 < 30 THEN event_id % 60 ELSE event_id % 7 END) AS VARCHAR)) AS corrected
+      FROM events WHERE event_type = 'error' AND (event_id % 100) < 80
+    )
+    SELECT original,
+           list_distinct(list(corrected))[1] AS suggested,
+           COUNT(*) AS occurrences,
+           0.7 AS confidence
+    FROM c
+    GROUP BY original
+    HAVING len(list_distinct(list(corrected))) = 1 AND COUNT(*) >= 2
+    """,
+)
+def error_mining(spark, sf_dir):
+    """A3 batch error mining (reference core/processor.py:441-460):
+    group low-confidence corrections by source token, suggest only when
+    ALL targets agree (collect_set size == 1), confidence 0.7. The
+    synthesized corrections make some tokens map consistently and
+    others inconsistently, so both branches of the HAVING are hit."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 100 < 80))
+    c = e.select(
+        F.concat(F.lit("e"), (F.col("event_id") % 60).cast("string")).alias("original"),
+        F.concat(
+            F.lit("f"),
+            F.when(F.col("event_id") % 60 < 30, F.col("event_id") % 60)
+            .otherwise(F.col("event_id") % 7).cast("string"),
+        ).alias("corrected"),
+    )
+    return (
+        c.groupBy("original")
+        .agg(
+            F.collect_set("corrected").alias("targets"),
+            F.count("*").alias("occurrences"),
+        )
+        .filter((F.size("targets") == 1) & (F.col("occurrences") >= 2))
+        .select(
+            "original",
+            F.get(F.col("targets"), 0).alias("suggested"),
+            "occurrences",
+            F.lit(0.7).alias("confidence"),
+        )
+    )
+
+
+@query(
+    "json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_props(spark, sf_dir):
+    """F12 JSON parse (reference api/routes.py:66-74 json.loads of
+    selected_areas) as from_json over the events props column, grouped
+    by a derived key."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "correction_kernel",
+    oracle="""
+    SELECT doc_id,
+           'справка город двор Мариуполь номер ' || CAST(doc_id AS VARCHAR) AS corrected_text,
+           3 AS n_corrections
+    FROM documents
+    """,
+)
+def correction_kernel(spark, sf_dir):
+    """F1 contextual digit→letter fix + J1 dictionary map, run through
+    the REAL Arrow correction UDF (operators/correct.py wrapping
+    kernel/correct.py — reference core/correctors.py:201-293): both
+    engines construct the same corrupted Russian sentence; the oracle
+    states the corrected text the kernel must produce (г0род→город
+    0→о, д8ор→двор 8→в, Маркуталь→Мариуполь via the seeded dict,
+    correctors.py:42-49)."""
+    from ocr_service_spark.operators.correct import with_corrections
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("справка г0род д8ор Маркуталь номер "),
+            F.col("doc_id").cast("string"),
+        ).alias("raw_text"),
+    )
+    out = with_corrections(docs, "raw_text", "c")
+    return out.select(
+        "doc_id",
+        F.col("c.corrected_text").alias("corrected_text"),
+        F.size("c.corrections").alias("n_corrections"),
+    )
