@@ -1469,3 +1469,67 @@ def correction_kernel(spark, sf_dir):
         F.col("c.corrected_text").alias("corrected_text"),
         F.size("c.corrections").alias("n_corrections"),
     )
+
+
+@query(
+    "doc_type_accuracy",
+    oracle="""
+    WITH fb AS (
+      SELECT event_type AS predicted_type, (event_id % 3 > 0) AS correct
+      FROM events WHERE user_id < 100
+    )
+    SELECT predicted_type,
+           COUNT(*) AS total,
+           ROUND(SUM(CASE WHEN correct THEN 1 ELSE 0 END) / COUNT(*), 4) AS accuracy,
+           (SUM(CASE WHEN correct THEN 1 ELSE 0 END) / COUNT(*) < 0.7) AS low_accuracy
+    FROM fb GROUP BY predicted_type HAVING COUNT(*) >= 5
+    """,
+)
+def doc_type_accuracy(spark, sf_dir):
+    """A5 per-type accuracy + A6 low-accuracy detector (reference
+    services/active_learning.py:157-189: correct/total per predicted
+    type, flag types under 0.7 with >= 5 samples) over a synthesized
+    document-type feedback stream."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    fb = e.select(
+        F.col("event_type").alias("predicted_type"),
+        (F.col("event_id") % 3 > 0).alias("correct"),
+    )
+    acc = F.sum(F.when(F.col("correct"), 1).otherwise(0)) / F.count("*")
+    return (
+        fb.groupBy("predicted_type")
+        .agg(
+            F.count("*").alias("total"),
+            F.round(acc, 4).alias("accuracy"),
+            (acc < 0.7).alias("low_accuracy"),
+        )
+        .filter(F.col("total") >= 5)
+    )
+
+
+@query(
+    "date_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y'), '%Y-%m-%d') AS parsed,
+           (strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') IS NOT NULL) AS valid
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def date_parse(spark, sf_dir):
+    """F16 date detect/parse round-trip (reference
+    core/validators.py:41-45): render order dates into the reference's
+    dd.mm.yyyy document format, re-parse with to_date, emit ISO. Uses
+    try-semantics (coalesce over formats) — the Spark analog of the
+    reference's regex+strptime validation."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    s = F.date_format("o_orderdate", "dd.MM.yyyy")
+    parsed = F.coalesce(
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy")).cast("date"),
+        F.try_to_timestamp(s, F.lit("d.M.yy")).cast("date"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(parsed, "yyyy-MM-dd").alias("parsed"),
+        parsed.isNotNull().alias("valid"),
+    )
