@@ -1533,3 +1533,31 @@ def date_parse(spark, sf_dir):
         F.date_format(parsed, "yyyy-MM-dd").alias("parsed"),
         parsed.isNotNull().alias("valid"),
     )
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.45
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (training-data tier):
+    all pairs above a cosine threshold. Exact all-pairs baseline at
+    test scale (broadcast self-join); at corpus scale candidates come
+    from the LSH buckets (embedding_lsh_ann) — same scoring expr, the
+    cross product replaced by a bucket equi-join."""
+    from ocr_service_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.select("a_id", "b_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
