@@ -1,0 +1,95 @@
+"""Optional model-inference stage (SURVEY.md M6-M8) — plumbing real,
+models stubbed.
+
+The reference ships three ML components that are all DISABLED or
+untrained in its own default path: the ResNet18 document classifier
+(models/document_classifier.py:17-101; "not found" log
+core/processor.py:482-483), the rut5 spell corrector (hard-coded
+use_ml_correction=False, core/processor.py:259), and the ML quality
+scorer (use_ml_quality=False, core/processor.py:287). They are
+therefore OUT of the correctness path here too; what this module
+provides is the production-shaped Spark stage: an iterator pandas UDF
+with one-time per-executor "model" init (the broadcast-once pattern of
+predict_batch_udf), batch scoring, and the confidence-gated
+classification merge (P11, core/processor.py:331-340).
+
+The stub "model" is deterministic (hash-derived pseudo-logits), so the
+stage is testable end-to-end; swapping `_StubModel` for a real torch
+module is the only change a GPU cluster needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["CLASSIFY_TYPE", "with_doc_classification", "apply_confidence_gate"]
+
+CLASSIFY_TYPE = T.StructType(
+    [
+        T.StructField("predicted_type", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+_CLASSES = ("certificate", "invoice", "letter", "report", "form")
+
+
+class _StubModel:
+    """Deterministic stand-in for the ResNet18 classifier: pseudo-logits
+    from a stable hash of the text. Raises on real-model methods so
+    accidental production use is loud."""
+
+    def predict(self, texts: list[str | None]) -> list[tuple[str, float]]:
+        import hashlib
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append((None, 0.0))
+                continue
+            h = int.from_bytes(
+                hashlib.md5(t[:256].encode("utf-8", "replace")).digest()[:8], "big")
+            cls = _CLASSES[h % len(_CLASSES)]
+            conf = round(0.5 + (h >> 8) % 500 / 1000.0, 4)  # [0.5, 1.0)
+            out.append((cls, conf))
+        return out
+
+    def load_weights(self, path: str) -> None:  # pragma: no cover
+        raise NotImplementedError(
+            "real classifier weights need torch — not in this container")
+
+
+def with_doc_classification(df: DataFrame, text_col: str = "corrected_text",
+                            out_col: str = "classification") -> DataFrame:
+    """Attach (predicted_type, confidence) via an iterator UDF that
+    instantiates the model once per partition iterator — the
+    load-once/score-many shape of predict_batch_udf."""
+
+    @F.pandas_udf(CLASSIFY_TYPE)
+    def classify(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        model = _StubModel()  # one-time init per executor task stream
+        for texts in batches:
+            preds = model.predict(list(texts))
+            yield pd.DataFrame(
+                {"predicted_type": [p[0] for p in preds],
+                 "confidence": [p[1] for p in preds]}
+            )
+
+    return df.withColumn(out_col, classify.asNondeterministic()(F.col(text_col)))
+
+
+def apply_confidence_gate(df: DataFrame, template_col: str = "template",
+                          cls_col: str = "classification",
+                          threshold: float = 0.7) -> DataFrame:
+    """P11 (core/processor.py:335): accept the predicted type only when
+    its confidence clears the gate, else keep the caller's template."""
+    return df.withColumn(
+        "document_type",
+        F.when(F.col(f"{cls_col}.confidence") > threshold,
+               F.col(f"{cls_col}.predicted_type"))
+        .otherwise(F.col(template_col)),
+    )
