@@ -1561,3 +1561,24 @@ def embedding_neardup_pairs(spark, sf_dir):
         pairs.select("a_id", "b_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
     )
+
+
+@query("pdf_extract", oracle=None)
+def pdf_extract(spark, sf_dir):
+    """W4/M5 PDF branch live: generate the corpus' PDF-payload docs
+    (blocks emitted in shuffled order), run the extraction UDF, return
+    per-doc text + block stats. Layout-aware x/y band sort-merge means
+    the shuffled emission order must NOT affect the text — byte-identity
+    vs the generator's reading order is asserted in pytest
+    (test_corpus_golden); here the driver gets a deterministic rows-only
+    check. Reference analog: bbox'd OCR regions ordered for readout
+    (core/ocr_engine.py:244-267)."""
+    from ocr_service_spark.corpus import corpus_df
+    from ocr_service_spark.pipeline import extract_documents
+
+    docs = corpus_df(spark, 400).filter(F.col("doc_id") % 100 % 15 == 9)
+    out = extract_documents(docs).filter(F.col("kind") == "pdf")
+    return out.select(
+        "doc_id", "extracted_text", "n_nodes", "n_content",
+        F.length("extracted_text").alias("n_chars"),
+    )
