@@ -52,6 +52,20 @@ HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
 DEFAULT_SEPARATOR = "\n\n"
 
+# single-lookup dispatch table: tag → flag bitmask (hot path — the
+# handlers run once per tag of every document)
+_F_VOID, _F_DROP, _F_BOILER, _F_LINK, _F_BLOCK = 1, 2, 4, 8, 16
+_TAG_FLAGS: dict[str, int] = {}
+for _t in VOID_TAGS:
+    _TAG_FLAGS[_t] = _F_VOID
+for _t in DROP_TAGS:
+    _TAG_FLAGS[_t] = _F_DROP
+for _t in BOILERPLATE_CONTAINERS:
+    _TAG_FLAGS[_t] = _F_BOILER
+_TAG_FLAGS["a"] = _F_LINK
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+
 
 @dataclass
 class Node:
@@ -127,32 +141,36 @@ class _FlatDomParser(HTMLParser):
 
     # -- HTMLParser hooks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in VOID_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
             return
         self._depth += 1
-        if tag in DROP_TAGS:
+        if not f:
+            return
+        if f & _F_DROP:
             self._drop_depth += 1
             return
-        if tag in BOILERPLATE_CONTAINERS:
+        if f & _F_BOILER:
             self._boiler_depth += 1
-        if tag == "a":
+        if f & _F_LINK:
             self._link_depth += 1
-        if tag in BLOCK_TAGS:
+        if f & _F_BLOCK:
             self._open_block(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in VOID_TAGS:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
             return
-        if tag in DROP_TAGS:
+        if f & _F_DROP:
             if self._drop_depth > 0:
                 self._drop_depth -= 1
             self._depth = max(0, self._depth - 1)
             return
-        if tag in BOILERPLATE_CONTAINERS and self._boiler_depth > 0:
+        if f & _F_BOILER and self._boiler_depth > 0:
             self._boiler_depth -= 1
-        if tag == "a" and self._link_depth > 0:
+        if f & _F_LINK and self._link_depth > 0:
             self._link_depth -= 1
-        if tag in BLOCK_TAGS and self._block_stack:
+        if f & _F_BLOCK and self._block_stack:
             # close innermost matching block (tolerates bad nesting)
             for i in range(len(self._block_stack) - 1, -1, -1):
                 if self._block_stack[i][0] == tag:
@@ -215,20 +233,26 @@ _RAW_CLOSE = {
 def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
     from html import unescape
 
+    # method/binding caches — this loop runs once per tag of every doc
+    find = text.find
+    match = _TAG_RE.match
+    h_data = handler.handle_data
+    h_start = handler.handle_starttag
+    h_end = handler.handle_endtag
     pos, n = 0, len(text)
     while pos < n:
-        lt = text.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             d = text[pos:]
-            handler.handle_data(unescape(d) if "&" in d else d)
+            h_data(unescape(d) if "&" in d else d)
             break
         if lt > pos:
             d = text[pos:lt]
-            handler.handle_data(unescape(d) if "&" in d else d)
-        m = _TAG_RE.match(text, lt)
+            h_data(unescape(d) if "&" in d else d)
+        m = match(text, lt)
         if m is None:
             # stray '<' that opens no construct: html.parser emits it as data
-            handler.handle_data("<")
+            h_data("<")
             pos = lt + 1
             continue
         pos = m.end()
@@ -236,19 +260,19 @@ def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
         if name:
             tag = name.lower()
             if m.group(1):
-                handler.handle_endtag(tag)
+                h_end(tag)
             else:
-                handler.handle_starttag(tag, [])
+                h_start(tag, [])
                 if m.group(4):
-                    handler.handle_endtag(tag)
+                    h_end(tag)
                 elif tag in _RAW_CLOSE:
                     mm = _RAW_CLOSE[tag].search(text, pos)
                     if mm:
-                        handler.handle_data(text[pos:mm.start()])
-                        handler.handle_endtag(tag)
+                        h_data(text[pos:mm.start()])
+                        h_end(tag)
                         pos = mm.end()
                     else:  # unterminated raw text: rest of doc swallowed
-                        handler.handle_data(text[pos:])
+                        h_data(text[pos:])
                         pos = n
     handler.close_blocks()
 
