@@ -43,6 +43,16 @@ def test_no_per_row_python_in_plan(spark, docs):
         "MapInPandas" in plan)
 
 
+def test_udfs_evaluated_exactly_once(spark, docs):
+    """Regression guard: a filter on a UDF-derived column once made
+    Catalyst clone the extraction UDF below the projection (two
+    ArrowEvalPython nodes → whole corpus extracted twice). The full
+    pipeline must carry exactly two Arrow nodes: extract + correct."""
+    plan = process_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2, plan.count("ArrowEvalPython")
+    assert "BatchEvalPython" not in plan
+
+
 def test_dedup_keeps_latest(spark, docs):
     result = process_documents(docs, dedup=True)
     rows = result.select("url", "warc_ts").collect()
