@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dedup_latest", "exact_text_dedup"]
+__all__ = ["dedup_latest", "exact_text_dedup", "drop_hot_shingles"]
 
 
 def dedup_latest(
@@ -52,6 +52,31 @@ def dedup_latest(
     partial = packed.groupBy(key, "_salt").agg(F.max("_rec").alias("_rec"))
     final = partial.groupBy(key).agg(F.max("_rec").alias("_rec"))
     return final.select(F.col(key), *[F.col(f"_rec.{c}").alias(c) for c in ordered])
+
+
+def drop_hot_shingles(
+    sh: DataFrame, shingle_col: str = "g", max_df: int = 100
+) -> DataFrame:
+    """Skew guard for shingle self-joins: remove shingles whose document
+    frequency exceeds `max_df` before any (doc_id, shingle) equi-join.
+
+    Without this, one boilerplate shingle shared by 10^6 docs produces
+    ~10^12/2 candidate pairs in the join — the classic stop-shingle
+    quadratic blow-up. With it, per-shingle join fan-out is bounded by
+    max_df^2 regardless of corpus size.
+
+    Scale shape: the doc-frequency count is a map-side-combinable hash
+    agg on the shingle key; the surviving hot set is tiny by
+    construction (only shingles above the cap), so the exclusion is a
+    broadcast left-anti join — no extra full shuffle of `sh`.
+    """
+    hot = (
+        sh.groupBy(shingle_col)
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(shingle_col)
+    )
+    return sh.join(F.broadcast(hot), shingle_col, "left_anti")
 
 
 def exact_text_dedup(df: DataFrame, text_col: str = "text",

@@ -132,9 +132,12 @@ def top_customers(spark, sf_dir):
 )
 def region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped multiway star join (SURVEY.md §2.3 'multi-way
-    equi-joins'). One shuffle join on the fact keys (lineitem x orders);
-    every dimension is broadcast — the plan at 100 TB is a single
-    shuffle stage plus broadcast hash joins."""
+    equi-joins'). Shuffle joins on the fact keys (lineitem x orders x
+    customer); only the genuinely small dims (nation, region — fixed
+    25/5 rows at every SF) carry broadcast hints. customer scales with
+    the data (billions of rows at the 100 TB target) so its join is
+    left to AQE: broadcast while it fits the threshold, shuffle-hash
+    beyond."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -142,7 +145,7 @@ def region_revenue(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -190,8 +193,8 @@ def mktsegment_having(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -318,8 +321,8 @@ def window_running(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -790,8 +793,8 @@ _EN_STOPS = ("the", "a")
            ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
                  / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
            regexp_matches(text, '[Ѐ-ӿ]') AS has_cyrillic,
-           CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-                     / greatest(len(string_split(text, ' ')), 1) >= 0.05
+           CASE WHEN ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                     / greatest(len(string_split(text, ' ')), 1), 4) >= 0.05
                 THEN 'en' ELSE 'other' END AS guess_lang
     FROM documents
     """,
@@ -908,10 +911,14 @@ def exact_dedup_q(spark, sf_dir):
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
              i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))))) AS g
       FROM t WHERE len(toks) >= 3
+    ), hot AS (
+      SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) > 100
+    ), sh AS (
+      SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (
@@ -930,15 +937,21 @@ def jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup detection: explode distinct 3-gram
     shingle hashes, self-equi-join on shingle, count common shingles
     per pair, Jaccard = |∩| / |∪|. The shingle join is the scalable
-    shape (shuffle on shingle hash, never a doc×doc cross product);
-    skew guard at 10^12 docs = drop top-frequency shingles first."""
+    shape (shuffle on shingle hash, never a doc×doc cross product).
+    Skew guard (drop_hot_shingles): shingles with doc-frequency > 100
+    are stop-shingles and are excluded (broadcast anti-join) before the
+    self-join, bounding per-shingle fan-out to 100^2 pairs at any
+    corpus size; sizes/jaccard are computed on the surviving shingle
+    sets so both engines see identical semantics."""
     from ocr_service_spark.functions.textstats import shingles, tokens
+    from ocr_service_spark.operators.dedup import drop_hot_shingles
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
         "doc_id",
         F.explode(F.transform(shingles(F.col("text"), 3), F.md5)).alias("g"),
     )
+    sh = drop_hot_shingles(sh, "g", max_df=100)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1204,14 +1217,24 @@ ORACLE_SQL["embedding_lsh_ann"] = _lsh_oracle()
 @query(
     "multimodal_meta",
     oracle="""
+    WITH b AS (
+      SELECT doc_id, text, encode(text) AS payload,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha256,
-           ascii(substr(text, 1, 1)) % 64 + 1 AS width,
-           ascii(substr(text, 2, 1)) % 64 + 1 AS height,
-           octet_length(encode(text)) % 7 + 1 AS n_frames,
-           'fake/deterministic' AS codec
-    FROM documents
+           n_bytes,
+           -- sha256(VARCHAR) hashes the UTF-8 bytes == stub's sha256(payload)
+           CASE WHEN n_bytes = 0 THEN NULL ELSE sha256(text) END AS sha256,
+           CASE WHEN n_bytes = 0 THEN NULL
+                ELSE ('0x' || substr(hex(payload), 1, 2))::INT % 64 + 1
+           END AS width,
+           CASE WHEN n_bytes = 0 THEN NULL
+                WHEN n_bytes > 1 THEN ('0x' || substr(hex(payload), 3, 2))::INT % 64 + 1
+                ELSE 1 END AS height,
+           CASE WHEN n_bytes = 0 THEN NULL ELSE n_bytes % 7 + 1 END AS n_frames,
+           CASE WHEN n_bytes = 0 THEN NULL ELSE 'fake/deterministic' END AS codec
+    FROM b
     """,
 )
 def multimodal_meta(spark, sf_dir):

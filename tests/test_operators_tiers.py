@@ -12,7 +12,11 @@ from ocr_service_spark.functions.textstats import (
     token_hash,
     tokens,
 )
-from ocr_service_spark.operators.dedup import dedup_latest, exact_text_dedup
+from ocr_service_spark.operators.dedup import (
+    dedup_latest,
+    drop_hot_shingles,
+    exact_text_dedup,
+)
 from ocr_service_spark.operators.multimodal import decode_stub, with_media_meta
 from ocr_service_spark.operators.similarity import HYPERPLANES, cosine_topk, lsh_topk
 
@@ -57,6 +61,19 @@ def test_exact_dedup_groups(spark):
     groups = {r.content_hash: (r.keeper_id, r.n_dups) for r in out}
     assert len(groups) == 4
     assert (0, 2) in groups.values(), "dup pair keeps min doc_id"
+
+
+def test_drop_hot_shingles_bounds_fanout(spark):
+    # 50 docs all share shingle "hot" (df=50 > cap 10); each also has a
+    # unique shingle (df=1). The guard must drop every "hot" row and
+    # keep every unique one — bounding the self-join fan-out.
+    rows = [(i, s) for i in range(50) for s in ("hot", f"uniq{i}")]
+    sh = spark.createDataFrame(rows, "doc_id long, g string")
+    kept = drop_hot_shingles(sh, "g", max_df=10).collect()
+    assert len(kept) == 50
+    assert all(r.g != "hot" for r in kept)
+    # nothing under the cap is touched
+    assert len(drop_hot_shingles(sh, "g", max_df=50).collect()) == 100
 
 
 def test_stop_ratio(spark):
