@@ -6,8 +6,8 @@ restart from the last committed snapshot").
 Reference analog: the JSON summary sink (S10,
 scripts/process_dataset_phase1.py:238-251) — which records stats but
 cannot restart. Here every output row is assigned a deterministic
-bucket = pmod(xxhash64(url), n_buckets); a bucket is the unit of
-commit. The lineage table records, per committed bucket:
+bucket = md5-derived 60-bit hash of url mod n_buckets (portable across
+engines — see bucket_expr); a bucket is the unit of commit. The lineage table records, per committed bucket:
 (bucket, n_rows, checksum, wall_clock_s, run_id). A restarted run
 diffs the bucket universe against committed lineage and processes ONLY
 the missing buckets; deterministic document ids (F14 — sha2(url), no
@@ -28,11 +28,58 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["with_bucket", "committed_buckets", "run_with_lineage", "verify_lineage"]
+__all__ = [
+    "bucket_expr",
+    "with_bucket",
+    "clean_uncommitted",
+    "committed_buckets",
+    "run_with_lineage",
+    "verify_lineage",
+]
+
+
+def bucket_expr(key: str, n_buckets: int) -> F.Column:
+    """Portable bucket assignment: first 15 md5 hex chars → 60-bit int
+    → mod n_buckets. Engine-independent (DuckDB twin:
+    ('0x'||substr(md5(url),1,15))::BIGINT % n), so external systems —
+    and the driver's SQL oracle — can compute a row's bucket without
+    Spark. On a real cluster the Iceberg table's bucket(N, url) partition
+    transform replaces this expression; the lineage contract is
+    unchanged."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(key)), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
 
 
 def with_bucket(df: DataFrame, key: str = "url", n_buckets: int = 16) -> DataFrame:
-    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+    return df.withColumn("bucket", bucket_expr(key, n_buckets))
+
+
+def clean_uncommitted(spark: SparkSession, data_dir: str, done: set[int]) -> list[int]:
+    """Remove data partitions whose bucket has NO lineage row — the
+    leftovers of a crash in the window between the bucket's data commit
+    and its lineage append. Without this, the restart's append would
+    write those rows a second time (duplicate-rows window). Iceberg
+    analog: rolling back to the last committed snapshot / orphan-file
+    cleanup; on the parquet emulation it's an explicit directory drop
+    via the Hadoop FileSystem API (works on any scheme, not just
+    file://)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    removed = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("bucket="):
+            b = int(name.split("=", 1)[1])
+            if b not in done:
+                fs.delete(st.getPath(), True)
+                removed.append(b)
+    return sorted(removed)
 
 
 def committed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
@@ -65,6 +112,9 @@ def run_with_lineage(
     bucketed = with_bucket(result, key=key, n_buckets=n_buckets)
 
     done = committed_buckets(spark, lineage_dir)
+    # a crash between a bucket's data commit (below) and its lineage
+    # append leaves orphan data — drop it before re-appending
+    clean_uncommitted(spark, data_dir, done)
     todo = sorted(set(range(n_buckets)) - done)
     if max_buckets_this_run is not None:
         todo = todo[:max_buckets_this_run]

@@ -727,8 +727,8 @@ def _field_oracle() -> str:
         )
         parts.append(f"len(list_filter({cands}, v -> {valid})) > 0 AS {name}_valid")
         parts.append(
-            f"CASE WHEN len(list_filter({cands}, v -> {valid})) > 0 THEN 0.9 "
-            f"WHEN len({cands}) > 0 THEN 0.5 ELSE 0.0 END AS {name}_conf"
+            f"CAST(CASE WHEN len(list_filter({cands}, v -> {valid})) > 0 THEN 0.9 "
+            f"WHEN len({cands}) > 0 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS {name}_conf"
         )
     sel = ",\n           ".join(parts)
     return (
@@ -1266,20 +1266,40 @@ def multimodal_meta(spark, sf_dir):
 # Lineage/restart + streaming tiers (rows-only where not SQL-expressible)
 # ---------------------------------------------------------------------------
 
-@query("lineage_restart", oracle=None)
+@query(
+    "lineage_restart",
+    oracle="""
+    SELECT ('0x' || substr(md5('https://host' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example/doc/' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 8 AS bucket,
+           COUNT(*) AS n_rows,
+           TRUE AS ok
+    FROM documents
+    GROUP BY 1
+    """,
+)
 def lineage_restart(spark, sf_dir):
     """North-rule restart contract, exercised live: run the extraction
     pipeline bucket-committed with per-partition lineage, crash after 3
-    of 8 buckets, restart, then verify every bucket's lineage
-    (row count + checksum) against the recomputed data. Returns the
-    verification table — the driver sees all ok=true. Rows-only check:
-    the filesystem side effects aren't SQL-expressible."""
+    of 8 buckets — INCLUDING a crash inside the commit window (bucket
+    data written, lineage row not yet appended: the orphan partition
+    must be dropped on restart, not double-appended) — restart, then
+    verify every bucket's lineage (row count + checksum) against the
+    recomputed data. The DuckDB oracle recomputes each url's bucket via
+    the portable md5 hash (lineage.bucket_expr) and asserts one row per
+    doc with ok=true — so duplicate rows from a botched restart fail
+    the count, and checksum drift fails ok."""
     import os
     import shutil
     import tempfile
 
     from ocr_service_spark.entry_pipeline import htmlified_documents
-    from ocr_service_spark.lineage import run_with_lineage, verify_lineage
+    from ocr_service_spark.lineage import (
+        committed_buckets,
+        run_with_lineage,
+        verify_lineage,
+        with_bucket,
+    )
     from ocr_service_spark.pipeline import process_documents
 
     os.makedirs("/root/repo/.tmp", exist_ok=True)
@@ -1288,6 +1308,12 @@ def lineage_restart(spark, sf_dir):
     result = process_documents(htmlified_documents(spark, sf_dir))
     run_with_lineage(spark, result, out, n_buckets=8,
                      max_buckets_this_run=3, run_id="r1")  # "crash"
+    # crash INSIDE the commit window: one more bucket's data lands but
+    # its lineage append never happens
+    orphan = sorted(set(range(8)) - committed_buckets(spark, f"{out}/lineage"))[0]
+    (with_bucket(result, n_buckets=8)
+     .filter(F.col("bucket") == orphan)
+     .write.partitionBy("bucket").mode("append").parquet(f"{out}/data"))
     run_with_lineage(spark, result, out, n_buckets=8, run_id="r2")  # restart
     return verify_lineage(spark, out).select("bucket", "n_rows", "ok")
 
@@ -1396,7 +1422,7 @@ def ordered_concat(spark, sf_dir):
     SELECT original,
            list_distinct(list(corrected))[1] AS suggested,
            COUNT(*) AS occurrences,
-           0.7 AS confidence
+           CAST(0.7 AS DOUBLE) AS confidence
     FROM c
     GROUP BY original
     HAVING len(list_distinct(list(corrected))) = 1 AND COUNT(*) >= 2
@@ -1586,22 +1612,97 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
 
 
-@query("pdf_extract", oracle=None)
+@query(
+    "pdf_extract",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+      FROM t
+    ), blk AS (
+      SELECT doc_id, i, i // 4 AS page,
+             array_to_string(list_slice(toks, 8 * i + 1, 8 * i + 8), ' ') AS btxt
+      FROM b
+    ), pg AS (
+      SELECT doc_id, page, string_agg(btxt, chr(10) ORDER BY i) AS ptxt,
+             COUNT(*) AS nb
+      FROM blk GROUP BY doc_id, page
+    )
+    SELECT doc_id,
+           string_agg(ptxt, chr(10) || chr(10) ORDER BY page) AS extracted_text,
+           CAST(SUM(nb) AS BIGINT) AS n_blocks,
+           COUNT(*) AS n_pages,
+           length(string_agg(ptxt, chr(10) || chr(10) ORDER BY page)) AS n_chars
+    FROM pg GROUP BY doc_id
+    """,
+)
 def pdf_extract(spark, sf_dir):
-    """W4/M5 PDF branch live: generate the corpus' PDF-payload docs
-    (blocks emitted in shuffled order), run the extraction UDF, return
-    per-doc text + block stats. Layout-aware x/y band sort-merge means
-    the shuffled emission order must NOT affect the text — byte-identity
-    vs the generator's reading order is asserted in pytest
-    (test_corpus_golden); here the driver gets a deterministic rows-only
-    check. Reference analog: bbox'd OCR regions ordered for readout
-    (core/ocr_engine.py:244-267)."""
-    from ocr_service_spark.corpus import corpus_df
+    """W4/M5 PDF branch, driver-oracle-checked: render every document's
+    text into a graft-PDF payload (8-token blocks, 4 blocks/page, x/y
+    geometry laid out in reading order) with the block LINES EMITTED IN
+    md5-SHUFFLED ORDER, run the real extraction UDF, and return the
+    layout-merged text. The (page, y-band, x) sort-merge must undo the
+    shuffle exactly, so the DuckDB oracle — which regroups the original
+    tokens in reading order — matches byte-for-byte. Payload synthesis
+    is pure native exprs (base64/concat; MIME CRLFs stripped), so the
+    only Python is the extraction kernel itself. Reference analog:
+    bbox'd OCR regions ordered for readout (core/ocr_engine.py:244-267).
+    Corpus-generator PDF parity is additionally pytest-pinned
+    (test_corpus_golden)."""
     from ocr_service_spark.pipeline import extract_documents
 
-    docs = corpus_df(spark, 400).filter(F.col("doc_id") % 100 % 15 == 9)
-    out = extract_documents(docs).filter(F.col("kind") == "pdf")
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nb = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+
+    def line(i):
+        j = i % 4
+        btxt = F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8))
+        b64 = F.regexp_replace(
+            F.base64(F.encode(btxt, "utf-8")), "[\\r\\n]", "")
+        return F.concat_ws(
+            " ",
+            F.floor(i / 4).cast("string"),          # page
+            ((j % 2) * 100).cast("string"),          # x
+            (F.floor(j / 2) * 10).cast("string"),    # y
+            F.lit("200"), F.lit("20"),               # w h
+            b64,
+        )
+
+    shuffled = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.struct(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), i)).alias("shuf"),
+                    line(i).alias("line"),
+                ),
+            )
+        ),
+        lambda s: s["line"],
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("%PDF-1.7\n%%GRAFT-BLOCKS\n"),
+            F.concat_ws("\n", shuffled),
+            F.lit("\n"),
+        ),
+        "utf-8",
+    )
+    pdf_docs = docs.select(
+        "doc_id",
+        F.concat(F.lit("pdf://"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01")).alias("warc_ts"),
+        "lang",
+        payload.alias("html"),
+    )
+    out = extract_documents(pdf_docs)
     return out.select(
-        "doc_id", "extracted_text", "n_nodes", "n_content",
+        "doc_id",
+        "extracted_text",
+        F.col("n_nodes").cast("bigint").alias("n_blocks"),
+        F.size(F.split("extracted_text", "\n\n")).cast("bigint").alias("n_pages"),
         F.length("extracted_text").alias("n_chars"),
     )

@@ -18,9 +18,20 @@ Reference semantics, re-expressed:
 On a real cluster the two write-backs are Iceberg `MERGE INTO`
 statements inside `foreachBatch` (atomic per micro-batch, restartable
 from the streaming checkpoint). This sandbox has no Iceberg runtime,
-so the MERGE is emulated: corrections = parquet append of anti-joined
-rows; applied-flag = read-modify-overwrite of the feedback table. The
-checkpoint + availableNow trigger still give exactly-once per batch.
+so the MERGE is emulated with parquet, designed so every write is
+IDEMPOTENT under micro-batch replay (foreachBatch is at-least-once —
+a crash between a write and the checkpoint commit replays the batch):
+- T1 ingest: the feedback table is partitioned by batch_id and each
+  micro-batch dynamically overwrites ONLY its own partition, so a
+  replay rewrites the same rows instead of appending duplicates.
+- corrections: append is guarded by the anti-join against the current
+  dictionary, so pairs that landed before a crash aren't re-appended.
+- applied-flag: recomputed from the corrections dim itself
+  (applied OR pair ∈ corrections) rather than from this batch's delta,
+  so a replay whose corrections committed pre-crash still flips its
+  rows (self-healing). The full-table rewrite goes through a tmp dir;
+  the rewrite itself is the one non-atomic step of the emulation —
+  on Iceberg it is a single atomic MERGE.
 
 Event-time tier: `feedback_rate` shows watermark + tumbling-window
 counts with late-data drop — the reference accepts feedback with no
@@ -110,7 +121,13 @@ def run_feedback_loop(
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         batch.persist()
-        batch.write.mode("append").parquet(feedback_tbl)  # T1 append
+        # T1 ingest, replay-idempotent: overwrite exactly THIS batch's
+        # partition — a replayed batch rewrites it instead of duplicating
+        (batch.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(feedback_tbl))
 
         current = _read_or_none(sp, corrections_tbl)
         all_fb = sp.read.parquet(feedback_tbl)
@@ -122,25 +139,37 @@ def run_feedback_loop(
         )
         new_rows = new_corr.collect()  # tiny dim (threshold-gated)
         if new_rows:
+            # anti-join above already excluded known pairs, so a replay
+            # whose append committed pre-crash re-appends nothing
             sp.createDataFrame(new_rows, new_corr.schema).write.mode(
                 "append").parquet(corrections_tbl)
-            # MERGE-emulation of mark_corrections_applied: flip the flag
-            # on every feedback row whose pair was just learned
-            mined = sp.createDataFrame(
-                [(r.original, r.corrected) for r in new_rows],
-                "original string, corrected string",
-            )
-            updated = (
-                all_fb.join(F.broadcast(mined), ["original", "corrected"], "left_semi")
-                .withColumn("applied", F.lit(True))
-                .unionByName(
-                    all_fb.join(F.broadcast(mined), ["original", "corrected"], "left_anti")
+
+        # MERGE-emulation of mark_corrections_applied, self-healing:
+        # the flag derives from the corrections dim itself, so it is
+        # correct even when a replayed batch's corrections landed in a
+        # previous (crashed) attempt
+        corr_now = _read_or_none(sp, corrections_tbl)
+        if corr_now is not None:
+            pairs = F.broadcast(
+                corr_now.select("original", "corrected").distinct()
+                .withColumn("_known", F.lit(True)))
+            stale = (
+                all_fb.filter(~F.col("applied"))
+                .join(pairs, ["original", "corrected"], "left_semi")
+                .limit(1).count())
+            if stale:
+                updated = (
+                    all_fb.join(pairs, ["original", "corrected"], "left")
+                    .withColumn(
+                        "applied",
+                        F.col("applied") | F.coalesce(F.col("_known"), F.lit(False)))
+                    .drop("_known")
                 )
-            )
-            tmp = f"{feedback_tbl}__tmp"
-            updated.write.mode("overwrite").parquet(tmp)
-            fs_df = sp.read.parquet(tmp)
-            fs_df.write.mode("overwrite").parquet(feedback_tbl)
+                tmp = f"{feedback_tbl}__tmp"
+                updated.write.mode("overwrite").parquet(tmp)
+                fs_df = sp.read.parquet(tmp)
+                (fs_df.write.mode("overwrite")
+                 .partitionBy("batch_id").parquet(feedback_tbl))
         batch.unpersist()
 
     q = (

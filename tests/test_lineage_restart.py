@@ -6,9 +6,11 @@ import pyspark.sql.functions as F
 
 from ocr_service_spark.corpus import corpus_df
 from ocr_service_spark.lineage import (
+    clean_uncommitted,
     committed_buckets,
     run_with_lineage,
     verify_lineage,
+    with_bucket,
 )
 from ocr_service_spark.pipeline import process_documents
 
@@ -56,6 +58,40 @@ def test_crash_restart_identical_to_oneshot(spark, tmp_path):
     n_two = spark.read.parquet(f"{crashed}/data").count()
     assert n_one == n_two, "no duplicates after restart"
     assert _global_checksum(spark, oneshot) == _global_checksum(spark, crashed)
+
+
+def test_crash_in_commit_window_no_duplicates(spark, tmp_path):
+    """Crash BETWEEN a bucket's data commit and its lineage append: the
+    orphan data partition must be dropped on restart (clean_uncommitted),
+    otherwise the restart's append duplicates every row in it."""
+    oneshot = str(tmp_path / "oneshot")
+    crashed = str(tmp_path / "crashed")
+    result = _result(spark)
+
+    run_with_lineage(spark, result, oneshot, n_buckets=N_BUCKETS, run_id="full")
+
+    run_with_lineage(spark, result, crashed, n_buckets=N_BUCKETS,
+                     max_buckets_this_run=2, run_id="r1")
+    done = committed_buckets(spark, f"{crashed}/lineage")
+    orphan = sorted(set(range(N_BUCKETS)) - done)[0]
+    # simulate the window: data written, lineage append never happened
+    (with_bucket(result, n_buckets=N_BUCKETS)
+     .filter(F.col("bucket") == orphan)
+     .write.partitionBy("bucket").mode("append").parquet(f"{crashed}/data"))
+
+    removed = clean_uncommitted(spark, f"{crashed}/data", done)
+    assert removed == [orphan]
+
+    # cleanup is part of run_with_lineage too: re-orphan and restart
+    (with_bucket(result, n_buckets=N_BUCKETS)
+     .filter(F.col("bucket") == orphan)
+     .write.partitionBy("bucket").mode("append").parquet(f"{crashed}/data"))
+    run_with_lineage(spark, result, crashed, n_buckets=N_BUCKETS, run_id="r2")
+
+    assert (spark.read.parquet(f"{crashed}/data").count()
+            == spark.read.parquet(f"{oneshot}/data").count())
+    assert _global_checksum(spark, oneshot) == _global_checksum(spark, crashed)
+    assert all(r.ok for r in verify_lineage(spark, crashed).collect())
 
 
 def test_lineage_checksums_verify(spark, tmp_path):

@@ -71,6 +71,37 @@ def test_dedup_keeps_latest(spark, docs):
                                       for v in versions)
 
 
+def test_dedup_latest_wins_even_if_it_errors(spark):
+    """Pin the dedup-before-extraction semantics: the LATEST crawl of a
+    url is the keeper even when its extraction errors — the older,
+    successfully-extracted crawl is gone from the output. Chosen
+    deliberately (dedup runs on raw crawl rows so losers never pay the
+    extraction UDF; at 10^12 rows the payload crosses the shuffle once);
+    a latest-crawl-failed url therefore surfaces as an error row
+    upstream of process_documents' error filter, not as a silent
+    fallback to stale content."""
+    from datetime import datetime
+
+    good_html = b"<html><body><article><p>" + b"good content here " * 20 + \
+        b"</p></article></body></html>"
+    broken = b"%PDF-1.7\nnot-a-graft-payload"  # real-PDF stub -> error row
+    rows = [
+        (1, "https://x.example/a", datetime(2025, 1, 1), "en", good_html),
+        (2, "https://x.example/a", datetime(2025, 6, 1), "en", broken),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, lang string, html binary")
+    assert process_documents(df, dedup=True).count() == 0, \
+        "errored keeper filtered; stale crawl must NOT resurface"
+    from ocr_service_spark.operators.dedup import dedup_latest
+
+    kept = extract_documents(
+        dedup_latest(df, key="url", order_cols=("warc_ts", "doc_id"))
+    ).collect()
+    assert len(kept) == 1 and kept[0].error is not None
+    assert kept[0].warc_ts == datetime(2025, 6, 1)
+
+
 def test_full_pipeline_schema_and_fields(spark, docs):
     result = process_documents(docs).cache()
     row = (

@@ -79,6 +79,37 @@ def test_feedback_loop_second_batch_antijoins_known(spark, tmp_path):
     assert corr.count() == 2, "anti-join must prevent re-learning known pairs"
 
 
+def test_feedback_loop_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: losing the checkpoint replays
+    every batch. The partition-overwrite ingest + anti-joined
+    corrections append + corrections-derived applied flag must make the
+    replay a byte-level no-op (no duplicate feedback rows, no
+    re-learned pairs, flags still flipped)."""
+    import shutil
+
+    in_dir = tmp_path / "drop"
+    state = str(tmp_path / "state")
+    _drop(in_dir, [
+        _fb(1, "teh", "the", 0.9),
+        _fb(2, "teh", "the", 0.8),
+        _fb(3, "lone", "alone", 0.9),
+    ])
+    run_feedback_loop(spark, str(in_dir), state)
+    assert spark.read.parquet(f"{state}/feedback").count() == 3
+    assert spark.read.parquet(f"{state}/corrections").count() == 1
+
+    # simulate the crash-before-checkpoint-commit replay
+    shutil.rmtree(f"{state}/checkpoint")
+    run_feedback_loop(spark, str(in_dir), state)
+
+    fb = spark.read.parquet(f"{state}/feedback")
+    assert fb.count() == 3, "replayed batch must not append duplicates"
+    assert spark.read.parquet(f"{state}/corrections").count() == 1, \
+        "replayed batch must not re-learn known pairs"
+    applied = {r.original: r.applied for r in fb.collect()}
+    assert applied["teh"] is True and applied["lone"] is False
+
+
 def test_mine_candidates_thresholds(spark):
     rows = [
         ("a", "b", 0.9, False, "correction"),
