@@ -26,7 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["CLASSIFY_TYPE", "with_doc_classification", "apply_confidence_gate"]
+__all__ = [
+    "CLASSIFY_TYPE",
+    "with_doc_classification",
+    "apply_confidence_gate",
+    "with_spell_correction",
+]
 
 CLASSIFY_TYPE = T.StructType(
     [
@@ -80,6 +85,35 @@ def with_doc_classification(df: DataFrame, text_col: str = "corrected_text",
             )
 
     return df.withColumn(out_col, classify.asNondeterministic()(F.col(text_col)))
+
+
+def with_spell_correction(df: DataFrame, text_col: str = "corrected_text",
+                          out_col: str = "ml_corrected_text",
+                          model_factory=None) -> DataFrame:
+    """M7 seq2seq spell-correction stage (reference
+    models/spell_corrector.py:16-189) as an iterator UDF with the full
+    guard chain (kernel/spell_guard.guarded_correct) around every model
+    call. The default `model_factory=None` is the reference's own
+    disabled-model path (model is None → text unchanged,
+    spell_corrector.py:86-87; use_ml_correction=False,
+    core/processor.py:259), so this stage is an identity projection in
+    the correctness path. Flipping in a real model is config-only: pass
+    a zero-arg factory returning the batch decode callable — it is
+    constructed ONCE per partition iterator (load-once/score-many) and
+    the pre/post gates stay byte-identical to the reference's."""
+
+    @F.pandas_udf(T.StringType())
+    def correct(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from ocr_service_spark.kernel.spell_guard import guarded_correct
+
+        model_fn = model_factory() if model_factory is not None else None
+        for texts in batches:
+            if model_fn is None:
+                yield texts
+            else:
+                yield texts.map(lambda t: guarded_correct(t, model_fn))
+
+    return df.withColumn(out_col, correct.asNondeterministic()(F.col(text_col)))
 
 
 def apply_confidence_gate(df: DataFrame, template_col: str = "template",

@@ -34,3 +34,81 @@ def test_classification_deterministic_and_gated(spark):
 def test_real_model_path_is_loud():
     with pytest.raises(NotImplementedError):
         _StubModel().load_weights("/nonexistent")
+
+
+# --- M7 spell-guard kernel: gate parity with the reference's documented
+# cases (models/spell_corrector.py:96-97, 128-140, 145-147) ---
+
+def test_spell_guard_pre_gate_parity():
+    from ocr_service_spark.kernel.spell_guard import eligible_for_ml, guarded_correct
+
+    long_text = ("word " * 50).strip()          # 249 chars > 200 → skip
+    assert len(long_text) > 200 and not eligible_for_ml(long_text)
+    short = "only three words"                   # 2 spaces < 5 → skip
+    assert not eligible_for_ml(short)
+    ok = "one two three four five six"           # 5 spaces, 27 chars → run
+    assert eligible_for_ml(ok)
+    assert not eligible_for_ml(None) and not eligible_for_ml("")
+
+    # ineligible text must NOT reach the model at all
+    def bomb(_):
+        raise AssertionError("model called for ineligible text")
+    assert guarded_correct(long_text, bomb) == long_text
+    assert guarded_correct(short, bomb) == short
+
+
+def test_spell_guard_post_gates_parity():
+    from ocr_service_spark.kernel.spell_guard import accept_correction, guarded_correct
+
+    orig = "one two three four five six"
+    # service-token reject (spell_corrector.py:128-131)
+    assert accept_correction(orig, "<extra_id_0> junk") == orig
+    assert accept_correction(orig, "   ") == orig
+    # prompt-prefix strip (spell_corrector.py:134-135)
+    assert accept_correction(orig, "исправить: one two three four5 five six") \
+        == "one two three four5 five six"
+    # length-ratio gate (spell_corrector.py:138-140)
+    assert accept_correction(orig, "tiny") == orig                # < 0.5x
+    assert accept_correction(orig, orig * 3) == orig              # > 2x
+    # surviving correction accepted
+    assert accept_correction(orig, orig.replace("two", "2")) == \
+        orig.replace("two", "2")
+    # model exception degrades to original (spell_corrector.py:145-147)
+    def broken(_):
+        raise RuntimeError("cuda oom")
+    assert guarded_correct(orig, broken) == orig
+
+
+def test_spell_correction_stage_disabled_is_identity(spark):
+    from ocr_service_spark.operators.ml_stub import with_spell_correction
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, None)],
+        "id long, corrected_text string")
+    rows = {r.id: r for r in with_spell_correction(df).collect()}
+    assert rows[1].ml_corrected_text == "one two three four five six"
+    assert rows[2].ml_corrected_text is None
+
+
+def test_spell_correction_stage_with_model_applies_gates(spark):
+    from ocr_service_spark.operators.ml_stub import with_spell_correction
+
+    def factory():
+        # fake decode: echoes the task prefix; drifts to service tokens
+        # when the text mentions 'bad'
+        def decode(t):
+            if "bad" in t:
+                return "<extra_id_0>"
+            return f"исправить: {t.upper()}"
+        return decode
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"),
+         (2, "bad one two three four five"),
+         (3, "too short")],
+        "id long, corrected_text string")
+    rows = {r.id: r for r in
+            with_spell_correction(df, model_factory=factory).collect()}
+    assert rows[1].ml_corrected_text == "ONE TWO THREE FOUR FIVE SIX"
+    assert rows[2].ml_corrected_text == "bad one two three four five"  # reject
+    assert rows[3].ml_corrected_text == "too short"                    # pre-gate
