@@ -103,41 +103,90 @@ def main() -> None:
         # north metric is docs/sec extraction over a stored table, and
         # inline generation would compete with the extraction UDF for
         # Python workers.
+        #
+        # Measurement discipline (the host has EXTERNAL load bursts):
+        # every rep is (a) load-gated — we wait for /proc/loadavg to
+        # drop below $SPARK_GRAFT_LOAD_GATE before starting, (b)
+        # CPU-accounted — we record our own process-tree CPU seconds
+        # (JVM + forked Python workers, via /proc session-id match,
+        # so Arrow-UDF Python time is included) AND host-wide busy CPU
+        # seconds (/proc/stat delta). host_minus_ours_cpu_s is CPU
+        # burned by neighbours DURING the rep; cpu_s per doc flat
+        # across core counts while wall inflates = the plan scales and
+        # the residual is contention. Per-stage JVM run/cpu time comes
+        # from the UI REST API for the same rep.
+        from ocr_service_spark.bench_probe import (
+            host_cpu_seconds,
+            loadavg1,
+            session_tree_cpu_seconds,
+            stage_metrics,
+            wait_for_quiet,
+        )
         from ocr_service_spark.corpus import corpus_df
         from ocr_service_spark.pipeline import process_documents
         from ocr_service_spark.session import build_session
 
         n_corpus = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+        reps = int(os.environ.get("SPARK_GRAFT_CHILD_REPS", "2"))
+        ui_port = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4048"))
         corpus_path = os.environ.get(
             "SPARK_GRAFT_BENCH_CORPUS",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench", f"corpus_{n_corpus}.parquet"))
-        spark = build_session("bench_scaling", cores=cores,
-                              shuffle_partitions=max(cores, 8))
+        spark = build_session(
+            "bench_scaling", cores=cores, shuffle_partitions=max(cores, 8),
+            extra_conf={"spark.ui.enabled": "true",
+                        "spark.ui.port": str(ui_port)})
         if not os.path.exists(corpus_path):
             corpus_df(spark, n_corpus, partitions=128).write.mode(
                 "overwrite").parquet(corpus_path)
         docs = spark.read.parquet(corpus_path)
         docs.count()  # warm JVM + page cache
-        best = None
-        for _ in range(2):
+        runs = []
+        seen_stages: set[int] = set()
+        for _ in range(reps):
+            waited = wait_for_quiet()
+            load0 = loadavg1()
+            cpu0, host0 = session_tree_cpu_seconds(), host_cpu_seconds()
             t0 = time.time()
             process_documents(docs).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        print(json.dumps({"corpus_docs_per_sec": round(n_corpus / best, 1),
-                          "cores": cores, "sec": round(best, 3)}))
+            wall = time.time() - t0
+            ours = round(session_tree_cpu_seconds() - cpu0, 1)
+            host = round(host_cpu_seconds() - host0, 1)
+            stages, seen_stages = stage_metrics(spark, ui_port, seen_stages)
+            runs.append({
+                "sec": round(wall, 3),
+                "load_before": load0,
+                "load_after": loadavg1(),
+                "gate_wait_s": waited,
+                "ours_cpu_s": ours,
+                "host_cpu_s": host,
+                # host-wide busy minus our tree: >0 under external load.
+                # Can go slightly NEGATIVE (a few %) because /proc/stat
+                # is tick-sampled while per-process time is precise —
+                # treat near-zero as "host was ours alone".
+                "host_minus_ours_cpu_s": round(host - ours, 1),
+                "stages": stages,
+            })
+        best = min(runs, key=lambda r: r["sec"])
+        print(json.dumps({"corpus_docs_per_sec": round(n_corpus / best["sec"], 1),
+                          "cores": cores, "sec": best["sec"],
+                          "best": best, "runs": runs}))
         return
 
     if "--scaling" in sys.argv:
         # Two-cluster-size proxy: the same job in fresh JVMs at N and 4N
-        # cores. The sandbox host has external load bursts, so the 8- and
-        # 32-core runs are INTERLEAVED over several rounds and the best
-        # per config wins — a burst then penalizes both configs equally.
+        # cores. The sandbox host has external load bursts, so the runs
+        # are INTERLEAVED over several rounds, every rep inside a child
+        # is load-gated and CPU-accounted (see --scaling-child), and the
+        # best per config wins — a burst then penalizes both configs
+        # equally AND shows up in the rep's external_cpu_s.
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
         pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "8,32")
         n_small, n_big = (int(x) for x in pair.split(","))
+        n_corpus = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
         best: dict[int, dict] = {}
+        all_runs: dict[int, list] = {n_small: [], n_big: []}
         for _ in range(rounds):
             for c in (n_small, n_big):
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
@@ -145,19 +194,37 @@ def main() -> None:
                     [sys.executable, os.path.abspath(__file__), "--scaling-child"],
                     env=env, capture_output=True, text=True, check=True)
                 r = json.loads(out.stdout.strip().splitlines()[-1])
+                all_runs[c].extend(r.get("runs", []))
                 if c not in best or r["sec"] < best[c]["sec"]:
                     best[c] = r
         tp_s = best[n_small]["corpus_docs_per_sec"]
         tp_b = best[n_big]["corpus_docs_per_sec"]
         eff = round((tp_b / tp_s) / (n_big / n_small), 3)
-        print(json.dumps({
+        result = {
             "metric": f"scaling_efficiency_{n_small}_to_{n_big}_cores",
             "value": eff,
             "unit": "ratio",
             f"docs_per_sec_{n_small}": tp_s,
             f"docs_per_sec_{n_big}": tp_b,
             "sf": sf,
-        }))
+        }
+        # CPU-time efficiency: per-doc CPU seconds of our whole process
+        # tree (JVM + Python workers), best rep per config. ~1.0 here
+        # while wall efficiency lags = the PLAN scales (same work per
+        # doc at both widths); the wall gap is host contention, visible
+        # in external_cpu_s.
+        bs, bb = best[n_small].get("best"), best[n_big].get("best")
+        if bs and bb and bs.get("ours_cpu_s") and bb.get("ours_cpu_s"):
+            cpu_small = bs["ours_cpu_s"] / n_corpus
+            cpu_big = bb["ours_cpu_s"] / n_corpus
+            result["cpu_s_per_kdoc"] = {str(n_small): round(cpu_small * 1000, 3),
+                                        str(n_big): round(cpu_big * 1000, 3)}
+            result["cpu_time_efficiency"] = round(cpu_small / cpu_big, 3)
+            result["host_minus_ours_cpu_s_best"] = {
+                str(n_small): bs.get("host_minus_ours_cpu_s"),
+                str(n_big): bb.get("host_minus_ours_cpu_s")}
+            result["best_rep"] = {str(n_small): bs, str(n_big): bb}
+        print(json.dumps(result))
         return
 
     r = run_once(sf_dir, cores)

@@ -106,3 +106,75 @@ def with_extraction(df, html_col: str = "html", out_col: str = "extraction",
     shuffle."""
     udf = make_extract_udf(separator=separator)
     return df.withColumn(out_col, udf(F.col(html_col)))
+
+
+def make_extract_correct_udf(separator: str = "\n\n",
+                             corrections: dict[str, str] | None = None):
+    """Fused extraction + autocorrection UDF: one Arrow round-trip for
+    the whole Python hot path. The unfused pair (extract UDF → filter →
+    correct UDF) ships the extracted text back to the JVM only to ship
+    it straight into the next Python worker — at 10^12 docs that second
+    round-trip is pure Arrow serialization tax. The fused kernel runs
+    correction inline on each extraction while the text is still a hot
+    Python object (error rows pass through with corrected_text=None),
+    so the plan carries exactly ONE ArrowEvalPython node.
+
+    Composability is unchanged: with_extraction / with_corrections stay
+    the standalone operators; process_documents uses this fusion.
+    """
+    from ocr_service_spark.operators.correct import (
+        CORRECTION_TYPE,
+        DEFAULT_CORRECTIONS,
+    )
+
+    cmap = dict(DEFAULT_CORRECTIONS if corrections is None else corrections)
+    result_type = T.StructType(
+        list(EXTRACT_RESULT_TYPE.fields)
+        + [
+            T.StructField("corrected_text", T.StringType()),
+            T.StructField("corrections", T.ArrayType(CORRECTION_TYPE)),
+        ]
+    )
+
+    @F.pandas_udf(result_type)
+    def extract_correct(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ocr_service_spark.kernel.correct import (
+            apply_corrections_map,
+            contextual_digit_fix,
+        )
+        from ocr_service_spark.kernel.dispatch import extract_document
+
+        for payloads in batches:
+            cols: dict[str, list] = {
+                "text": [], "spans": [], "kind": [], "n_nodes": [],
+                "n_content": [], "charset": [], "error": [],
+                "corrected_text": [], "corrections": [],
+            }
+            for raw in payloads:
+                r = extract_document(bytes(raw) if raw is not None else None,
+                                     separator=separator)
+                cols["text"].append(r.text)
+                cols["spans"].append(
+                    [{"start": s, "end": e, "node_idx": ni, "confidence": c}
+                     for (s, e, ni, c) in r.spans])
+                cols["kind"].append(r.kind)
+                cols["n_nodes"].append(r.n_nodes)
+                cols["n_content"].append(r.n_content)
+                cols["charset"].append(r.charset)
+                cols["error"].append(r.error)
+                if r.text is None:
+                    cols["corrected_text"].append(None)
+                    cols["corrections"].append([])
+                else:
+                    fixed, c1 = contextual_digit_fix(r.text)
+                    fixed, c2 = apply_corrections_map(fixed, cmap)
+                    cols["corrected_text"].append(fixed)
+                    cols["corrections"].append(
+                        [{"original": c["original"], "corrected": c["corrected"],
+                          "confidence": c["confidence"], "method": c["method"]}
+                         for c in c1 + c2])
+            cols["n_nodes"] = pd.array(cols["n_nodes"], dtype="int32")
+            cols["n_content"] = pd.array(cols["n_content"], dtype="int32")
+            yield pd.DataFrame(cols)
+
+    return extract_correct.asNondeterministic()

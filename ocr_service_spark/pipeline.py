@@ -5,17 +5,19 @@ Spark restatement of the reference's `POST /api/v1/process` lifecycle
 DataFrame chain —
 
   scan(documents)
-    → extraction UDF (Arrow batch; HTML density classify / PDF block
-      merge — replaces stages 2-4 of the reference lifecycle)
     → dedup-and-validate shuffle (salted, keep latest warc_ts crawl)
-    → dictionary corrections (broadcast join analog, F1 kernel)
+    → FUSED extraction + correction UDF (one Arrow batch round-trip;
+      HTML density classify / PDF block merge + contextual digit fix +
+      dictionary token map — replaces stages 2-5 of the reference
+      lifecycle)
     → field validation structs (native exprs — stage 7)
     → quality + needs_review (stages 8, P2/P3)
     → final projection (stage 11, processor.py:346-376)
 
-Catalyst plans this as: one scan+UDF+project stage, one shuffle for
-the salted partial dedup, one tiny shuffle for the final dedup — vs
-the reference's fully serial per-file loop (processor.py:415-417).
+Catalyst plans this as: one scan stage into the salted partial-dedup
+shuffle, one post-shuffle stage carrying the single ArrowEvalPython
+node plus every native expr — vs the reference's fully serial per-file
+loop (processor.py:415-417).
 
 Deterministic document id (F14): reference uses uuid4
 (processor.py:111) which breaks idempotent restart; we derive
@@ -26,9 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ocr_service_spark.operators.correct import with_corrections
 from ocr_service_spark.operators.dedup import dedup_latest
-from ocr_service_spark.operators.extract import with_extraction
+from ocr_service_spark.operators.extract import (
+    make_extract_correct_udf,
+    with_extraction,
+)
 from ocr_service_spark.operators.quality import (
     needs_review,
     overall_quality,
@@ -80,17 +84,27 @@ def process_documents(
     if dedup:
         docs = dedup_latest(docs, key="url", order_cols=("warc_ts", "doc_id"),
                             n_salts=n_salts)
-    extracted = extract_documents(docs)
-    ok = extracted.filter(F.col("error").isNull())
-
-    # stage 5 autocorrect (processor.py:253): contextual digit fix +
-    # dictionary token map; validation then runs on the CORRECTED text
-    # (processor.py:279-282 validates post-correction)
-    ok = (
-        with_corrections(ok, "extracted_text", "correction")
-        .withColumn("corrected_text", F.col("correction.corrected_text"))
-        .withColumn("corrections_applied", F.col("correction.corrections"))
-        .drop("correction")
+    # Fused extraction + stage-5 autocorrect (processor.py:253) in ONE
+    # Arrow round-trip: the unfused extract→correct pair would ship the
+    # extracted text JVM→Python→JVM→Python; the fusion corrects while
+    # the text is still a hot Python object. Validation then runs on the
+    # CORRECTED text (processor.py:279-282 validates post-correction).
+    fused = make_extract_correct_udf()
+    x = docs.withColumn("x", fused(F.col("html")))
+    ok = x.filter(F.col("x.error").isNull()).select(
+        "doc_id",
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("x.text").alias("extracted_text"),
+        F.col("x.spans").alias("spans"),
+        F.col("x.kind").alias("kind"),
+        F.col("x.n_nodes").alias("n_nodes"),
+        F.col("x.n_content").alias("n_content"),
+        F.col("x.charset").alias("charset"),
+        F.col("x.error").alias("error"),
+        F.col("x.corrected_text").alias("corrected_text"),
+        F.col("x.corrections").alias("corrections_applied"),
     )
 
     txt = F.col("corrected_text")

@@ -1706,3 +1706,109 @@ def pdf_extract(spark, sf_dir):
         F.size(F.split("extracted_text", "\n\n")).cast("bigint").alias("n_pages"),
         F.length("extracted_text").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup + PII scrub (training-data tier, beyond the reference:
+# C4/RefinedWeb-style corpus hygiene ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "chunk_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ')) AS h
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS u(i)
+    ), occ AS (
+      SELECT h, COUNT(*) AS n_occ FROM c GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) / COUNT(*), 4) AS dup_ratio
+    FROM c JOIN occ o ON c.h = o.h
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup(spark, sf_dir):
+    """Chunk-level (pseudo-paragraph) duplication profile — the
+    C4/RefinedWeb 'remove documents made of repeated boilerplate
+    chunks' signal. Non-overlapping 16-token windows are hashed;
+    a chunk is duplicated when its hash occurs more than once in the
+    corpus; each doc reports its duplicated-chunk ratio.
+
+    Scale shape: explode → map-side-combinable COUNT per chunk hash →
+    equi-join back on the same key (no second shuffle of the heavy
+    side under AQE since partitioning is reusable) → per-doc agg.
+    Never doc×doc. Skew: a boilerplate chunk shared by millions of
+    docs is ONE counter row here (contrast jaccard_pairs, which needs
+    the pair expansion and hence the drop_hot_shingles guard)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nb = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16))),
+    )
+    ex = docs.select("doc_id", F.explode(chunks).alias("h"))
+    occ = ex.groupBy("h").agg(F.count("*").alias("n_occ"))
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    return (
+        ex.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup / F.count("*"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example or 8-9' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || '-555-12-34 end' AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(txt, '8-9[0-9]{2}-[0-9]{3}-[0-9]{2}-[0-9]{2}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(txt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '8-9[0-9]{2}-[0-9]{3}-[0-9]{2}-[0-9]{2}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM t
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction pass (training-data hygiene, beyond the reference
+    — though its validators extract the same entity shapes,
+    core/validators.py:25-76): plant a deterministic email + phone per
+    doc, redact both with portable regexes (Java and RE2 agree on these
+    classes), and emit redaction counts plus the md5 of the scrubbed
+    text so the oracle proves byte-identical output. Pure map — no
+    shuffle, whole-stage codegen end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "8-9[0-9]{2}-[0-9]{3}-[0-9]{2}-[0-9]{2}"
+    txt = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 8-9"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-555-12-34 end"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(txt, email_re, "[EMAIL]"), phone_re, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(phone_re), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

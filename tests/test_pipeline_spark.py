@@ -47,9 +47,12 @@ def test_udfs_evaluated_exactly_once(spark, docs):
     """Regression guard: a filter on a UDF-derived column once made
     Catalyst clone the extraction UDF below the projection (two
     ArrowEvalPython nodes → whole corpus extracted twice). The full
-    pipeline must carry exactly two Arrow nodes: extract + correct."""
+    pipeline must carry exactly ONE Arrow node: the fused
+    extract+correct UDF (a second node would mean either the fusion
+    regressed to two Python round-trips or Catalyst duplicated the
+    UDF below a filter again)."""
     plan = process_documents(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 2, plan.count("ArrowEvalPython")
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
     assert "BatchEvalPython" not in plan
 
 
