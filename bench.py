@@ -185,14 +185,41 @@ def main() -> None:
         pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "8,32")
         n_small, n_big = (int(x) for x in pair.split(","))
         n_corpus = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+        repo = os.path.dirname(os.path.abspath(__file__))
+        # SPARK_GRAFT_SUBMIT=1 → launch each child via the north rule's
+        # deployment contract: spark-submit --py-files <package zip>
+        # tools/scaling_job.py (imports resolve from the zip; the same
+        # command line runs unchanged on a yarn/k8s cluster).
+        submit = os.environ.get("SPARK_GRAFT_SUBMIT") == "1"
+        if submit:
+            sys.path.insert(0, os.path.join(repo, "tools"))
+            from make_pyfiles import build as build_zip
+            zip_path = build_zip(os.path.join(repo, ".bench", "ocr_service_spark.zip"))
         best: dict[int, dict] = {}
         all_runs: dict[int, list] = {n_small: [], n_big: []}
         for _ in range(rounds):
             for c in (n_small, n_big):
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(c))
+                if submit:
+                    # --driver-memory MUST ride the command line: under
+                    # spark-submit the JVM exists before build_session
+                    # runs, so the builder's spark.driver.memory is
+                    # silently ignored (1g default → OOM, exit 52).
+                    cmd = ["spark-submit", "--master", f"local[{c}]",
+                           "--driver-memory",
+                           os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+                           "--py-files", zip_path,
+                           os.path.join(repo, "tools", "scaling_job.py")]
+                else:
+                    cmd = [sys.executable, os.path.abspath(__file__),
+                           "--scaling-child"]
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--scaling-child"],
-                    env=env, capture_output=True, text=True, check=True)
+                    cmd, env=env, capture_output=True, text=True)
+                if out.returncode != 0:
+                    sys.stderr.write(
+                        f"[scaling] child cores={c} rc={out.returncode}; "
+                        f"stderr tail:\n{out.stderr[-2000:]}\n")
+                    out.check_returncode()
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 all_runs[c].extend(r.get("runs", []))
                 if c not in best or r["sec"] < best[c]["sec"]:
@@ -224,6 +251,14 @@ def main() -> None:
                 str(n_small): bs.get("host_minus_ours_cpu_s"),
                 str(n_big): bb.get("host_minus_ours_cpu_s")}
             result["best_rep"] = {str(n_small): bs, str(n_big): bb}
+        # every rep, compact — the run-to-run spread IS the host-noise
+        # evidence, don't discard it
+        result["all_reps"] = {
+            str(c): [{"sec": r["sec"], "ours_cpu_s": r.get("ours_cpu_s"),
+                      "load_before": r.get("load_before"),
+                      "load_after": r.get("load_after")}
+                     for r in rs]
+            for c, rs in all_runs.items()}
         print(json.dumps(result))
         return
 
