@@ -1812,3 +1812,82 @@ def pii_scrub(spark, sf_dir):
         F.size(F.regexp_extract_all(txt, F.lit(phone_re), F.lit(0))).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "sessionize_stream",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g
+    ), agg AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, n_events, duration_ms,
+           CASE WHEN session_id = MAX(session_id) OVER (PARTITION BY user_id)
+                THEN 'timeout' ELSE 'gap' END AS closed_by
+    FROM agg
+    """,
+)
+def sessionize_stream_q(spark, sf_dir):
+    """Custom STATEFUL streaming operator, hard-gated against the batch
+    oracle: gap-based sessionization via applyInPandasWithState
+    (streaming/sessionize_stream.py — per-user GroupState, event-time
+    timeout). The events table is dropped as JSON in three
+    mtime-ordered files (real events, then two far-future sentinel
+    batches) so the event-time watermark sweeps past every open
+    session: after the final availableNow trigger the emitted rows are
+    EXACTLY the batch `sessionize` result, each user's final session
+    closed_by='timeout' and all earlier ones by 'gap'. This is the
+    north rule's session-window tier with custom state schema — not
+    expressible with built-in streaming windows, yet still
+    SQL-oracle-checkable because the flush protocol drains all state."""
+    import os
+    import tempfile
+    import time as _time
+
+    from ocr_service_spark.streaming.sessionize_stream import sessionize_stream
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    base = tempfile.mkdtemp(prefix="sstream_", dir="/root/repo/.tmp")
+    drop, out, ck = f"{base}/drop", f"{base}/out", f"{base}/ck"
+    os.makedirs(drop)
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"))
+    e.coalesce(1).write.mode("overwrite").json(f"{drop}/a")
+    far = e.agg(F.max("ts")).first()[0]
+    for i, name in enumerate(("b", "c")):
+        spark.createDataFrame(
+            [(999990 + i, 999990 + i, f"2031-0{i + 1}-01T00:00:00")],
+            "user_id long, event_id long, ts string",
+        ).coalesce(1).write.mode("overwrite").json(f"{drop}/{name}")
+    # file-source ordering = modification time: force a > b > c
+    now = _time.time()
+    for i, name in enumerate(("a", "b", "c")):
+        d = f"{drop}/{name}"
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + i, now + i))
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp"
+    ).option("maxFilesPerTrigger", "1").json(f"{drop}/*")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("user_id") < 50)
