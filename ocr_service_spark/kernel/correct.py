@@ -26,6 +26,7 @@ __all__ = [
     "similarity_ratio",
     "levenshtein",
     "apply_corrections_map",
+    "correct_document",
 ]
 
 # token grammar of the reference's contextual corrector
@@ -132,6 +133,53 @@ def levenshtein(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def correct_document(text: str, corrections: dict[str, str]) -> tuple[str, list[dict]]:
+    """contextual_digit_fix ∘ apply_corrections_map in ONE tokenization
+    pass — the hot-path composition used by the fused extraction UDF.
+
+    Byte-identical to running the two kernels in sequence (pinned by
+    test_correct_areas): the digit fix never changes token boundaries
+    (0/8 → Cyrillic letters inside a [А-Яа-яЁё0-9]+ token), so the
+    second pass's re-tokenization sees the same spans, and the map
+    lookup here uses the digit-FIXED token exactly as the sequential
+    version would. Correction records keep the sequential order: all
+    digit fixes first, then all map hits."""
+    c1: list[dict] = []
+    c2: list[dict] = []
+    out: list[str] = []
+    last = 0
+    for m in TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        fixed = tok
+        if (
+            ("0" in tok or "8" in tok)
+            and not tok.isdigit()
+            and _CYR_RE.search(tok)
+        ):
+            has_lower = bool(_LOWER_CYR_RE.search(tok))
+            fixed = tok.replace("0", "о" if has_lower else "О").replace(
+                "8", "в" if has_lower else "В")
+            if fixed != tok:
+                c1.append(
+                    {"original": tok, "corrected": fixed, "confidence": 0.95,
+                     "method": "contextual_russian_word",
+                     "zeros": tok.count("0"), "eights": tok.count("8")}
+                )
+        repl = corrections.get(fixed)
+        if repl is not None and repl != fixed:
+            c2.append(
+                {"original": fixed, "corrected": repl, "confidence": 1.0,
+                 "method": "exact_match"}
+            )
+            fixed = repl
+        if fixed != tok:
+            out.append(text[last:m.start()])
+            out.append(fixed)
+            last = m.end()
+    out.append(text[last:])
+    return "".join(out), c1 + c2
 
 
 def apply_corrections_map(text: str, corrections: dict[str, str]) -> tuple[str, list[dict]]:

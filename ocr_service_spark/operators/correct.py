@@ -69,10 +69,7 @@ def with_corrections(
 
     @F.pandas_udf(CORRECT_RESULT_TYPE)
     def correct(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        from ocr_service_spark.kernel.correct import (
-            apply_corrections_map,
-            contextual_digit_fix,
-        )
+        from ocr_service_spark.kernel.correct import correct_document
 
         for texts in batches:
             outs, corrs = [], []
@@ -81,8 +78,7 @@ def with_corrections(
                     outs.append(None)
                     corrs.append([])
                     continue
-                fixed, c1 = contextual_digit_fix(t)
-                fixed, c2 = apply_corrections_map(fixed, cmap)
+                fixed, cs = correct_document(t, cmap)
                 outs.append(fixed)
                 corrs.append(
                     [
@@ -92,7 +88,7 @@ def with_corrections(
                             "confidence": c["confidence"],
                             "method": c["method"],
                         }
-                        for c in c1 + c2
+                        for c in cs
                     ]
                 )
             yield pd.DataFrame({"corrected_text": outs, "corrections": corrs})

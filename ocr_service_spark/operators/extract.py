@@ -138,10 +138,7 @@ def make_extract_correct_udf(separator: str = "\n\n",
 
     @F.pandas_udf(result_type)
     def extract_correct(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        from ocr_service_spark.kernel.correct import (
-            apply_corrections_map,
-            contextual_digit_fix,
-        )
+        from ocr_service_spark.kernel.correct import correct_document
         from ocr_service_spark.kernel.dispatch import extract_document
 
         for payloads in batches:
@@ -166,13 +163,12 @@ def make_extract_correct_udf(separator: str = "\n\n",
                     cols["corrected_text"].append(None)
                     cols["corrections"].append([])
                 else:
-                    fixed, c1 = contextual_digit_fix(r.text)
-                    fixed, c2 = apply_corrections_map(fixed, cmap)
+                    fixed, corrs = correct_document(r.text, cmap)
                     cols["corrected_text"].append(fixed)
                     cols["corrections"].append(
                         [{"original": c["original"], "corrected": c["corrected"],
                           "confidence": c["confidence"], "method": c["method"]}
-                         for c in c1 + c2])
+                         for c in corrs])
             cols["n_nodes"] = pd.array(cols["n_nodes"], dtype="int32")
             cols["n_content"] = pd.array(cols["n_content"], dtype="int32")
             yield pd.DataFrame(cols)

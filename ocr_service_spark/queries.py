@@ -1891,3 +1891,47 @@ def sessionize_stream_q(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out).filter(F.col("user_id") < 50)
+
+
+@query(
+    "train_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END) AS in_sample
+    FROM h
+    """,
+)
+def train_split(spark, sf_dir):
+    """Reproducible train/valid/test assignment + language-stratified
+    down-sampling (training-data tier, beyond the reference): split =
+    salted-md5(doc_id) mod 100 → 80/10/10, and a per-language sampling
+    rate (here: keep 50% of 'en', 100% of the rest) applied via the
+    same hash so membership is deterministic across runs, engines and
+    cluster sizes — never rand()/sample(), which both break restart
+    idempotency and can't be oracle-checked. Pure map, no shuffle;
+    the hash is the portable 60-bit md5 prefix used across the repo
+    (lineage.bucket_expr twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint"),
+        F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(100))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.when(bucket < 80, F.lit("train"))
+         .when(bucket < 90, F.lit("valid"))
+         .otherwise(F.lit("test")).alias("split"),
+        (bucket < rate).alias("in_sample"),
+    )

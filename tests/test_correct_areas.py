@@ -95,3 +95,36 @@ def test_pipeline_carries_corrections(spark):
     assert "Маркуталь" in originals or any("0" in o or "8" in o for o in originals)
     assert "г0род" not in ru.corrected_text
     assert "Мариуполь" in ru.corrected_text or "Маркуталь" not in ru.corrected_text
+
+
+def test_correct_document_fusion_parity():
+    """The one-pass correct_document must be byte-identical to
+    contextual_digit_fix ∘ apply_corrections_map, including record
+    order (digit fixes first, then map hits on the FIXED tokens)."""
+    from ocr_service_spark.kernel.correct import (
+        apply_corrections_map,
+        contextual_digit_fix,
+        correct_document,
+    )
+
+    cmap = {"О": "0", "Маркуталь": "Мариуполь", "г0род": "NEVER"}
+    cases = [
+        "г0род пл0щадь 8ыдан 123 О 08 Маркуталь",
+        "",
+        "only latin words 0 8 here",
+        "О О О",
+        "сл08о-др0во и д0м",
+        "8 марта д0м 2020 год",
+        "0в8е 0В8Е миксед0",
+    ]
+    for t in cases:
+        f1, a = contextual_digit_fix(t)
+        f2, b = apply_corrections_map(f1, cmap)
+        g, c = correct_document(t, cmap)
+        assert g == f2, t
+        assert c == a + b, t
+    # the map must see the digit-FIXED token, not the original:
+    # 'г0род' fixes to 'город', so cmap['г0род'] must NOT fire
+    g, c = correct_document("г0род", cmap)
+    assert g == "город"
+    assert [x["method"] for x in c] == ["contextual_russian_word"]
