@@ -1,0 +1,160 @@
+"""WARC source connector — read Common-Crawl-style archives straight
+into the authoritative input shape documents(url, warc_ts, html, ...).
+
+The north star's input is "an Iceberg table of Common-Crawl-style web
+pages"; upstream of that table sits the crawl itself, which ships as
+WARC (ISO 28500): a stream of records, each a header block
+(`WARC/1.0\\r\\n` + name:value lines) + payload, separated by
+`\\r\\n\\r\\n`, and — in Common Crawl's layout — each record
+individually gzip-compressed and concatenated (a "member" stream). No
+external libs needed: stdlib zlib decompresses member streams.
+
+Scale shape (the industry-standard one for CC): WARC gzip members are
+NOT splittable without an index, so parallelism is FILE-level — one
+task per archive file (Common Crawl ships ~64k files of ~1 GB per
+snapshot, far more files than executors at any realistic cluster
+size). `read_warc` is binaryFile scan → mapInPandas(parse) so a file's
+records stream out of one Arrow batch iterator without materializing
+the whole archive as rows first; payload bytes go straight into the
+extraction UDF's binary column.
+
+`write_warc_bytes` builds spec-shaped archives (used by tests and the
+driver oracle query — no external data, per the build contract).
+
+Reference analog: none (the reference reads loose image files,
+core/ocr_engine.py:84-119); this source exists for the north rule's
+Common-Crawl framing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["build_record", "write_warc_bytes", "parse_warc", "read_warc",
+           "WARC_SCHEMA"]
+
+WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+               "content_type string, warc_file string")
+
+_CRLF = b"\r\n"
+
+
+def build_record(url: str, ts: datetime, payload: bytes,
+                 content_type: str = "text/html") -> bytes:
+    """One WARC/1.0 response record (uncompressed)."""
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + _CRLF
+        + b"Content-Type: " + content_type.encode() + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+    )
+    return headers + payload + _CRLF + _CRLF
+
+
+def write_warc_bytes(records: list[tuple[str, datetime, bytes]],
+                     member_gzip: bool = True) -> bytes:
+    """Records → archive bytes; member_gzip=True gives the Common-Crawl
+    layout (each record its own gzip member, concatenated)."""
+    out = io.BytesIO()
+    for url, ts, payload in records:
+        rec = build_record(url, ts, payload)
+        out.write(gzip.compress(rec, mtime=0) if member_gzip else rec)
+    return out.getvalue()
+
+
+def _split_members(raw: bytes) -> Iterator[bytes]:
+    """Decompress a concatenated gzip-member stream (or pass plain
+    bytes through untouched)."""
+    if raw[:2] != b"\x1f\x8b":
+        yield raw
+        return
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        yield d.decompress(raw[pos:])
+        consumed = len(raw) - pos - len(d.unused_data)
+        if consumed <= 0:  # pragma: no cover - corrupt trailing garbage
+            return
+        pos += consumed
+
+
+def parse_warc(raw: bytes) -> Iterator[dict]:
+    """Archive bytes → response-record dicts (url, warc_ts, payload,
+    content_type). Non-response records (warcinfo, request, metadata)
+    are skipped, matching standard CC extraction readers; malformed
+    records are skipped rather than failing the file (the row-level
+    skip-on-error contract, kernel/dispatch.py)."""
+    for chunk in _split_members(raw):
+        pos = 0
+        while True:
+            start = chunk.find(b"WARC/", pos)
+            if start < 0:
+                break
+            hdr_end = chunk.find(_CRLF + _CRLF, start)
+            if hdr_end < 0:
+                break
+            headers: dict[str, str] = {}
+            for line in chunk[start:hdr_end].split(_CRLF)[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().decode("latin-1").lower()] = \
+                    v.strip().decode("latin-1")
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                pos = hdr_end + 4
+                continue
+            body = chunk[hdr_end + 4:hdr_end + 4 + length]
+            pos = hdr_end + 4 + length
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers.get("warc-target-uri")
+            date = headers.get("warc-date", "")
+            try:
+                ts = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+            except ValueError:
+                continue
+            if url is None:
+                continue
+            yield {
+                "url": url,
+                "warc_ts": ts,
+                "payload": body,
+                "content_type": headers.get("content-type", ""),
+            }
+
+
+def read_warc(spark: SparkSession, path: str,
+              glob: str = "*.warc.gz") -> DataFrame:
+    """Directory of WARC archives → documents-shaped rows. File-level
+    parallelism (see module docstring); the parse runs inside
+    mapInPandas so record rows stream out per Arrow batch."""
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob)
+        .load(path).select("path", "content")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                recs = list(parse_warc(bytes(content)))
+                if not recs:
+                    continue
+                yield pd.DataFrame({
+                    "url": [r["url"] for r in recs],
+                    "warc_ts": [r["warc_ts"] for r in recs],
+                    "html": [r["payload"] for r in recs],
+                    "content_type": [r["content_type"] for r in recs],
+                    "warc_file": [path_] * len(recs),
+                })
+
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
