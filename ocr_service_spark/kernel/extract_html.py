@@ -256,14 +256,14 @@ def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
             pos = lt + 1
             continue
         pos = m.end()
-        name = m.group(2)
+        end_slash, name, self_close = m.group(1, 2, 4)
         if name:
             tag = name.lower()
-            if m.group(1):
+            if end_slash:
                 h_end(tag)
             else:
                 h_start(tag, [])
-                if m.group(4):
+                if self_close:
                     h_end(tag)
                 elif tag in _RAW_CLOSE:
                     mm = _RAW_CLOSE[tag].search(text, pos)

@@ -26,7 +26,8 @@ import random
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["HYPERPLANES", "dot", "norm", "cosine", "cosine_topk", "lsh_bucket_expr", "lsh_topk"]
+__all__ = ["HYPERPLANES", "dot", "norm", "cosine", "cosine_topk",
+           "lsh_bucket_expr", "lsh_topk", "ivf_centroids", "ivf_topk"]
 
 
 def _gen_hyperplanes(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[int]]:
@@ -126,3 +127,86 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer, trained deterministically: seeds = the
+    `n_clusters` lowest-id vectors, ONE Lloyd refinement (assign all
+    vectors to their nearest seed by rounded cosine, recompute each
+    centroid as the element-wise mean). Engine-portable by
+    construction: position-sums go through DECIMAL(18,9) so partial-agg
+    order can't change a bit, means round to 6 dp — the DuckDB oracle
+    reproduces every centroid exactly.
+
+    Scale shape: seeds broadcast (n_clusters rows), assignment is a
+    map-side broadcast join + per-row argmax, the mean is a
+    map-side-combinable agg on (cluster, position) — one shuffle of
+    n_clusters*dim tiny rows. Lloyd iterations beyond one are the same
+    job repeated; production IVF trains on a sample anyway."""
+    seeds = emb.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("sv"))
+    scored = emb.join(F.broadcast(seeds)).select(
+        id_col, vec_col, "cid",
+        cosine(F.col(vec_col), F.col("sv")).alias("cs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cid"))
+    assigned = (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select(id_col, vec_col, "cid"))
+    pos = assigned.select(
+        "cid", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    means = pos.groupBy("cid", "pos").agg(
+        F.round(
+            (F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+             / F.count("*")), 6).alias("m"))
+    return means.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select("cid", F.col("pm.m").alias("centroid"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; each query probes only its `n_probe`
+    nearest centroids and ranks exactly within those lists. The scale
+    path when LSH bucketing recalls poorly on clustered data: candidate
+    count per query ≈ n_probe/n_clusters of the corpus, and the
+    inverted lists are a bucketed table co-partitioned by cid (at
+    100 TB: written once, probed by every query batch)."""
+    cents = ivf_centroids(emb, n_clusters, id_col, vec_col)
+    # inverted lists: every vector -> its nearest (refined) centroid
+    v_scored = emb.join(F.broadcast(cents)).select(
+        id_col, vec_col, "cid",
+        cosine(F.col(vec_col), F.col("centroid")).alias("cs"))
+    wv = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cid"))
+    inv = (v_scored.withColumn("rn", F.row_number().over(wv))
+           .filter(F.col("rn") == 1).select(id_col, vec_col, "cid"))
+    # query probes
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    q_scored = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cid",
+        cosine(F.col("qv"), F.col("centroid")).alias("cs"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probes = (q_scored.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe).select("query_id", "qv", "cid"))
+    cand = inv.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col(vec_col)).alias("cos_sim"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rnk"))

@@ -1991,3 +1991,73 @@ def warc_extract(spark, sf_dir):
         F.col("x.text").alias("extracted_text"),
         F.size(F.split(F.col("x.text"), " ")).alias("n_tokens"),
     )
+
+
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3,
+                n_queries: int = 20) -> str:
+    """DuckDB twin of operators/similarity.ivf_topk: same seeds, same
+    single Lloyd pass (DECIMAL-summed, 6-dp-rounded centroid means),
+    same rounded-cosine rankings with cid/neighbor tiebreaks."""
+    cos_es = _COS_SQL.format(a="e.embedding", b="s.sv")
+    cos_ec = _COS_SQL.format(a="e.embedding", b="c.centroid")
+    cos_qc = _COS_SQL.format(a="q.embedding", b="c.centroid")
+    cos_qv = _COS_SQL.format(a="p.qv", b="i.embedding")
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS sv FROM embeddings WHERE vec_id < {n_clusters}
+    ), a0 AS (
+      SELECT e.vec_id, e.embedding, s.cid, {cos_es} AS cs
+      FROM embeddings e CROSS JOIN seeds s
+    ), assign1 AS MATERIALIZED (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM a0) WHERE rn = 1
+    ), cent AS (
+      SELECT cid, list(m ORDER BY pos) AS centroid FROM (
+        SELECT a.cid, t.i AS pos,
+               ROUND(CAST(SUM(CAST(a.embedding[t.i] AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS m
+        FROM assign1 a, range(1, 65) t(i)
+        GROUP BY a.cid, t.i) GROUP BY cid
+    ), inv AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos_ec} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {cos_qc} DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {n_queries}
+      ) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, i.vec_id AS neighbor_id, {cos_qv} AS cos_sim
+      FROM inv i JOIN probes p ON i.cid = p.cid AND i.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@query("embedding_ivf_ann", oracle=None)
+def embedding_ivf_ann(spark, sf_dir):
+    """IVF-ANN (training-data tier, the brief's 'IVF or LSH-bucketed
+    variant as the scale path'): deterministic coarse quantizer (lowest
+    -id seeds + one DECIMAL-exact Lloyd pass), inverted lists keyed by
+    centroid, nprobe=2 probing, exact rounded-cosine ranking inside the
+    probed lists. Complements embedding_lsh_ann: IVF adapts to the
+    data's cluster structure where fixed hyperplanes can't. The oracle
+    replays the identical quantizer training in SQL — every centroid
+    component matches bit-for-bit thanks to decimal-summed means."""
+    from ocr_service_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20),
+                    k=3, n_clusters=8, n_probe=2)
+
+
+ORACLE_SQL["embedding_ivf_ann"] = _ivf_oracle()

@@ -133,3 +133,26 @@ def test_dedup_latest_salt_invariance(spark):
     assert a == b
     assert len(a) == 7
     assert all(ts >= 93 for _, ts in a)
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    # two well-separated gaussian-ish blobs + a planted near-duplicate
+    for i in range(40):
+        center = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [center + rng.uniform(-0.05, 0.05) for _ in range(64)]))
+    base = rows[6][1]
+    rows.append((100, [v + 0.001 for v in base]))  # near-dup of vec 6
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from ocr_service_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    cents = ivf_centroids(emb, n_clusters=4).collect()
+    assert len(cents) == 4 and all(len(c.centroid) == 64 for c in cents)
+
+    got = ivf_topk(emb, emb.filter(F.col("vec_id") == 100), k=1,
+                   n_clusters=4, n_probe=2).collect()
+    assert len(got) == 1 and got[0].neighbor_id == 6
