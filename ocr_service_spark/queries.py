@@ -2061,3 +2061,88 @@ def embedding_ivf_ann(spark, sf_dir):
 
 
 ORACLE_SQL["embedding_ivf_ann"] = _ivf_oracle()
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY doc_id, tok
+    )
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct
+    FROM c GROUP BY doc_id
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Token-frequency profile for repetition filtering (Gopher-rule
+    family: low-entropy template spam shows up as n_distinct/n_tokens
+    collapse). Checked columns are the integer frequency profile —
+    entropy derives from the same (doc, token, n) counts downstream
+    but sums doubles in data-dependent order, so it stays out of the
+    hash-compared surface (the module's decimal-or-drop parity rule)
+    while its input distribution is fully gated. Scale shape: explode
+    → (doc, token) count (map-side combinable) → per-doc agg; one
+    shuffle on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    c = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+         .groupBy("doc_id", "tok").agg(F.count("*").alias("n")))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+    )
+
+
+@query(
+    "gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             ROUND(list_sum(list_transform(toks, w -> length(w)))
+                   / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+             ROUND(len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-zА-Яа-яЁё]+$')))
+                   / CAST(len(toks) AS DOUBLE), 4) AS alpha_word_ratio,
+             ROUND(len(list_filter(toks, w -> w IN ('the', 'a', 'and', 'of', 'to')))
+                   / CAST(len(toks) AS DOUBLE), 4) AS stop_hit_ratio
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stop_hit_ratio,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND alpha_word_ratio >= 0.8) AS passes_gopher
+    FROM m
+    """,
+)
+def gopher_rules(spark, sf_dir):
+    """Gopher-style document-quality rule bundle (Rae et al. 2021,
+    public filter set; training-data tier, beyond the reference): word
+    count bounds, mean word length in [3,10], ≥80% alphabetic words,
+    stopword-hit ratio — all native exprs over one tokenization, pure
+    map, rounded on both sides before any comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    fl = lambda c: c / n_words.cast("double")
+    mean_wl = F.round(
+        fl(F.aggregate(F.transform(toks, F.length),
+                       F.lit(0), lambda a, v: a + v)), 4)
+    alpha_ratio = F.round(
+        fl(F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-zА-Яа-яЁё]+$")))), 4)
+    stops = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to")])
+    stop_ratio_ = F.round(
+        fl(F.size(F.filter(toks, lambda w: F.array_contains(stops, w)))), 4)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_ratio_.alias("stop_hit_ratio"),
+        (n_words.between(50, 100_000)
+         & mean_wl.between(3, 10)
+         & (alpha_ratio >= 0.8)).alias("passes_gopher"),
+    )
