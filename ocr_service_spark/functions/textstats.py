@@ -22,6 +22,7 @@ __all__ = [
     "token_hash",
     "shingles",
     "minhash_expr",
+    "minhash_row_sigs",
     "stop_ratio",
     "bpe_ish_count",
     "MINHASH_PRIME",
@@ -98,4 +99,31 @@ def bpe_ish_count(text: Column) -> Column:
     punctuation — a cheap proxy for BPE token counts."""
     return F.size(
         F.regexp_extract_all(text, F.lit(r"[A-Za-z\p{L}]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def minhash_row_sigs(text: Column, k: int = 8) -> Column:
+    """K MinHash signatures computed PER ROW — array<bigint> of k mins
+    folded in one pass over the shingle-hash array (F.aggregate +
+    zip_with against a constant (a,b) table). Unlike minhash_expr's
+    explode + groupBy shape this needs NO shuffle and no row blow-up:
+    signature generation over 10^12 docs becomes a pure map stage, and
+    only the (tiny) signatures ever hit an exchange (e.g. the LSH band
+    join). minhash_expr stays for incremental/streaming aggregation
+    where shingles arrive pre-exploded."""
+    p = F.lit(MINHASH_PRIME)
+    hx = F.transform(
+        shingles(text, 3),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("bigint") % p,
+    )
+    consts = F.array(*[
+        F.struct(F.lit(a % MINHASH_PRIME).alias("a"), F.lit(b).alias("b"))
+        for a, b in MINHASH_COEFFS[:k]
+    ])
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), k)
+    return F.aggregate(
+        hx, init,
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % p)),
     )

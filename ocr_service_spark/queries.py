@@ -1001,16 +1001,18 @@ def _minhash_select() -> str:
 def minhash_signatures(spark, sf_dir):
     """K=8 MinHash signatures over 3-gram shingles: universal-hash
     family h_i(x) = (a_i*x + b_i) mod p applied to a portable 60-bit
-    shingle hash (first 15 md5 hex chars). One explode + one groupBy —
-    map-side combinable mins, uniform keys, no skew at any scale."""
-    from ocr_service_spark.functions.textstats import (
-        MINHASH_PRIME, minhash_expr, shingles, token_hash, tokens)
+    shingle hash (first 15 md5 hex chars). Computed PER ROW
+    (minhash_row_sigs: one fold over the shingle array) — the whole
+    query is a shuffle-free map stage; the round-1 explode+groupBy
+    shape paid an exchange of every (doc, shingle) row for the same
+    result. Oracle unchanged (SQL explode+MIN computes the identical
+    mins)."""
+    from ocr_service_spark.functions.textstats import minhash_row_sigs, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
-    x = (token_hash(F.col("g")) % MINHASH_PRIME).alias("x")
-    return sh.select("doc_id", x).groupBy("doc_id").agg(*minhash_expr(F.col("x")))
+    sig = minhash_row_sigs(F.col("text"))
+    return docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
 
 
 ORACLE_SQL["minhash_signatures"] = _shingle_hash_sql() + "    " + _minhash_select()
@@ -1020,16 +1022,15 @@ ORACLE_SQL["minhash_signatures"] = _shingle_hash_sql() + "    " + _minhash_selec
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH banding: 8 signatures → 4 bands of 2; candidate
     pairs share at least one full band; est_sim = fraction of equal
-    signatures. The band explode + self-equi-join on (band, key) is the
-    scale path — candidate generation never compares doc×doc."""
-    from ocr_service_spark.functions.textstats import (
-        MINHASH_PRIME, minhash_expr, shingles, token_hash, tokens)
+    signatures. Signatures are per-row map-only (minhash_row_sigs), so
+    the FIRST shuffle in the whole job is the band self-join of tiny
+    signature rows; candidate generation never compares doc×doc."""
+    from ocr_service_spark.functions.textstats import minhash_row_sigs, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
-    x = (token_hash(F.col("g")) % MINHASH_PRIME).alias("x")
-    sigs = sh.select("doc_id", x).groupBy("doc_id").agg(*minhash_expr(F.col("x")))
+    sig = minhash_row_sigs(F.col("text"))
+    sigs = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
     bands = sigs.select(
         "doc_id",
         F.explode(

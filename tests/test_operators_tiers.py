@@ -156,3 +156,23 @@ def test_ivf_topk_finds_planted_neighbor(spark):
     got = ivf_topk(emb, emb.filter(F.col("vec_id") == 100), k=1,
                    n_clusters=4, n_probe=2).collect()
     assert len(got) == 1 and got[0].neighbor_id == 6
+
+
+def test_minhash_row_sigs_equals_agg_form(spark):
+    """Per-row fold and explode+groupBy MUST produce identical
+    signatures — they share the hash family and shingle set."""
+    from ocr_service_spark.functions.textstats import minhash_row_sigs
+
+    docs = _docs(spark).filter(F.size(F.split("text", " ")) >= 3)
+    row_form = {
+        r.doc_id: tuple(r.sig)
+        for r in docs.select("doc_id",
+                             minhash_row_sigs(F.col("text")).alias("sig")).collect()
+    }
+    agg_form = {}
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("g"))
+    x = (token_hash(F.col("g")) % MINHASH_PRIME).alias("x")
+    for r in sh.select("doc_id", x).groupBy("doc_id").agg(
+            *minhash_expr(F.col("x"))).collect():
+        agg_form[r.doc_id] = tuple(r)[1:]
+    assert row_form == agg_form

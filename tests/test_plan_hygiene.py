@@ -43,6 +43,15 @@ def test_dedup_latest_has_no_window_or_global_sort(spark):
     assert "TakeOrderedAndProject" not in plan
 
 
+def test_minhash_signatures_is_pure_map(spark):
+    # per-row fold (minhash_row_sigs): signature generation must never
+    # shuffle — the r1 explode+groupBy shape paid an exchange of every
+    # (doc, shingle) row
+    plan = _plan(spark, "minhash_signatures")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_pii_scrub_is_pure_map(spark):
     plan = _plan(spark, "pii_scrub")
     assert "Exchange" not in plan, "redaction pass must not shuffle"
