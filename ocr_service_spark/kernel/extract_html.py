@@ -217,7 +217,9 @@ _TAG_RE = re.compile(
     r"|!\[CDATA\[.*?(?:\]\]>|$)"            # CDATA section
     r"|![^>]*>?"                            # doctype / decl
     r"|\?[^>]*>?"                           # processing instruction
-    r"|(/?)([a-zA-Z][a-zA-Z0-9:_.-]*)"      # 1: end-slash  2: tag name
+    r"|(/?)([a-zA-Z][^\t\n\r\f />]*)"       # 1: end-slash  2: tag name
+                                            #    (html.parser-tolerant:
+                                            #    anything but ws, /, >)
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"   # 3: attrs (quote-aware, lazy
                                             #    so a trailing / reaches 4)
     r"(/?)>"                                # 4: self-closing slash
@@ -251,6 +253,24 @@ def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
             h_data(unescape(d) if "&" in d else d)
         m = match(text, lt)
         if m is None:
+            if text.startswith("</", lt):
+                # null ('</>') or bogus ('</3>', '</ x>') end tag:
+                # HTML5 + html.parser swallow to the next '>' silently
+                gt = find(">", lt)
+                if gt < 0:
+                    break  # EOF inside bogus end tag: swallowed
+                pos = gt + 1
+                continue
+            nxt = text[lt + 1:lt + 2]
+            if nxt.isalpha():
+                # start tag that never completes — no '>' ahead, or an
+                # attribute quote left open to EOF (quoted values may
+                # contain '>', so the regex only fails when the
+                # construct really extends to EOF). html.parser flushes
+                # the whole remainder as data at close(); mirror that.
+                d = text[lt:]
+                h_data(unescape(d) if "&" in d else d)
+                break
             # stray '<' that opens no construct: html.parser emits it as data
             h_data("<")
             pos = lt + 1

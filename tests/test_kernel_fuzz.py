@@ -1,0 +1,125 @@
+"""Property-based A/B: the regex fast tokenizer must produce the SAME
+flat node array as the stdlib html.parser reference on adversarial
+markup — not just on the realistic corpus (test_kernel_html covers
+that). Hypothesis drives tag soup, truncated constructs, stray angle
+brackets, entities, raw-text islands and nesting abuse through both
+paths.
+
+Known, documented divergence classes are excluded from generation
+rather than papered over in assertions (both are cases where the fast
+path's behavior is the extraction-CORRECT one):
+- unterminated `<!--` / `<!` / `<?` constructs: the fast path swallows
+  them to EOF (they are markup, not content); html.parser re-emits the
+  raw construct text as data when the document ends inside it —
+  polluting extracted text with literal '<!--'.
+- CDATA sections: html.parser handles them per-mode; the fast path
+  swallows the construct whole. Real web HTML treats CDATA as a bogus
+  comment anyway, and the corpus never emits it.
+- quotes in attribute-NAME position (`<a "<p>`): html.parser's
+  tolerant attr grammar differs per CPython version here; the
+  extractor never reads attributes, so the exact recovery point for
+  quote junk is immaterial — well-formed quoted VALUES (including '>'
+  inside them) stay fully covered.
+"""
+
+import re
+import string
+
+from hypothesis import assume, given, settings, strategies as st
+
+from ocr_service_spark.kernel.extract_html import parse_nodes
+
+TAGS = ["p", "div", "h1", "li", "a", "span", "nav", "footer", "script",
+        "style", "br", "article", "td", "b"]
+
+_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,;&#<>–é—\n\t'\"",
+    max_size=40,
+)
+
+
+@st.composite
+def tag_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 25))):
+        kind = draw(st.integers(0, 6))
+        tag = draw(st.sampled_from(TAGS))
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(f"<{tag} class='x' data-a=\"1>2\">")
+        elif kind == 3:
+            parts.append(f"<{tag}/>")
+        elif kind == 4:
+            parts.append(draw(_text))
+        elif kind == 5:
+            parts.append(draw(st.sampled_from(
+                ["<!-- c -->", "<!DOCTYPE html>",
+                 "<?pi x?>", "&amp;", "&nbsp;", "&#65;", "&bogus;", "<",
+                 "< notatag", "<3", "</>", "<a href=--></a>"])))
+        else:
+            parts.append(f"<script>var a = '<div>' + 1 < 2;</script>")
+    if draw(st.booleans()):  # truncate mid-construct
+        s = "".join(parts)
+        return s[:max(0, len(s) - draw(st.integers(0, 5)))]
+    return "".join(parts)
+
+
+_TAGISH = re.compile(r"<[a-zA-Z](?:\"[^\"]*\"|'[^']*'|[^>])*>?")
+_STRICT_TAG = re.compile(
+    r"<[a-zA-Z][a-zA-Z0-9:_.-]*"
+    r"(\s+[^\s=/>'\"]+(\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+))?)*\s*/?>?$")
+
+
+def _quotes_wellformed(s):
+    """Excludes the attr-name-quote divergence class: any tag-ish
+    construct containing a quote must parse with the strict attr
+    grammar (name, optional ="value")."""
+    for m in _TAGISH.finditer(s):
+        c = m.group(0)
+        if ('"' in c or "'" in c) and not _STRICT_TAG.match(c):
+            return False
+    return True
+
+
+def _no_unterminated_decl(s):
+    """True iff the soup ends outside any <!-- / <! / <? construct
+    (the documented divergence class)."""
+    idx = 0
+    while True:
+        i = s.find("<!--", idx)
+        if i < 0:
+            break
+        j = s.find("-->", i)
+        if j < 0:
+            return False
+        idx = j + 3
+    for tok in ("<!", "<?", "</"):
+        k = s.rfind(tok)
+        if k >= 0 and not s.startswith("<!--", k) and ">" not in s[k:]:
+            return False
+    return True
+
+
+def _shape(nodes):
+    return [(n.tag, n.depth, n.text, n.link_chars, n.in_boilerplate)
+            for n in nodes]
+
+
+@given(tag_soup())
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_matches_reference_on_tag_soup(soup):
+    assume(_no_unterminated_decl(soup) and _quotes_wellformed(soup))
+    raw = soup.encode("utf-8")
+    fast, _ = parse_nodes(raw, fast=True)
+    ref, _ = parse_nodes(raw, fast=False)
+    assert _shape(fast) == _shape(ref)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_fast_parser_never_raises_on_garbage_bytes(raw):
+    nodes, charset = parse_nodes(raw, fast=True)
+    assert isinstance(nodes, list) and isinstance(charset, str)
