@@ -2147,3 +2147,46 @@ def gopher_rules(spark, sf_dir):
          & mean_wl.between(3, 10)
          & (alpha_ratio >= 0.8)).alias("passes_gopher"),
     )
+
+
+@query(
+    "ngram_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, bigram, COUNT(*) AS n FROM b GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+           ROUND(MAX(n) / CAST(SUM(n) AS DOUBLE), 4) AS top_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def ngram_repetition(spark, sf_dir):
+    """Top-bigram repetition fraction (the Gopher/RefinedWeb
+    'duplicated n-gram' filter family: a doc whose most frequent
+    bigram covers a large share of all bigrams is template spam).
+    Scale shape: per-row bigram explode → (doc, bigram) count
+    (map-side combinable) → per-doc max/sum; one shuffle on doc_id,
+    bounded by distinct bigrams per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+    )
+    c = (docs.filter(F.size(toks) >= 2)
+         .select("doc_id", F.explode(bigrams).alias("bigram"))
+         .groupBy("doc_id", "bigram").agg(F.count("*").alias("n")))
+    return c.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        F.round(F.max("n") / F.sum("n").cast("double"), 4).alias("top_bigram_frac"),
+    )
