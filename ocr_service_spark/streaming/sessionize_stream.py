@@ -83,12 +83,29 @@ def _sessionize_group(
             out.append((user_id, sid, n, last_ms - start_ms, "gap"))
             sid, start_ms, last_ms, n = sid + 1, t, t, 1
         else:
-            last_ms, n = t, n + 1
+            # Late-data semantics (pinned by test_sessionize_stream):
+            # an admissible-but-late event (t <= last_ms, i.e. above the
+            # watermark but behind this user's session clock) JOINS the
+            # open session without rewinding its clock — max() keeps
+            # last_ms monotone so gap detection and duration stay
+            # correct. If its session already closed (gap or timeout),
+            # the event seeds/joins the next one instead; the batch
+            # twin, seeing all events at once, would have merged it.
+            # That divergence is inherent to append-mode emission and
+            # is the documented contract.
+            last_ms, n = max(last_ms, t), n + 1
 
     state.update((sid, start_ms, last_ms, n))
-    # close the still-open session when the event-time watermark moves
-    # GAP past its last event
-    state.setTimeoutTimestamp(last_ms + GAP_MS)
+    # Close the still-open session when the event-time watermark moves
+    # GAP past its last event. Spark rejects timeout timestamps <= the
+    # current watermark (IllegalArgumentException kills the query), and
+    # a session whose newest event trails the watermark by more than
+    # GAP — late but inside the allowed lateness — would do exactly
+    # that, so clamp to watermark+1: the session then times out in the
+    # next micro-batch, the earliest legal moment.
+    timeout_ms = last_ms + GAP_MS
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
     yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
 
 

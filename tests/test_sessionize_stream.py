@@ -3,6 +3,7 @@ batch twin's semantics; watermark timeout flushes open sessions; state
 survives across micro-batches (per-batch drop dir, availableNow runs)."""
 
 import json
+import os
 from datetime import datetime, timedelta
 
 from ocr_service_spark.streaming.sessionize_stream import sessionize_stream
@@ -12,12 +13,17 @@ T0 = datetime(2025, 1, 1, 0, 0, 0)
 
 def _drop(dirpath, rows):
     dirpath.mkdir(parents=True, exist_ok=True)
-    p = dirpath / f"batch_{len(list(dirpath.iterdir()))}.json"
+    seq = len(list(dirpath.iterdir()))
+    p = dirpath / f"batch_{seq}.json"
     with open(p, "w") as f:
         for user_id, event_id, minutes in rows:
             f.write(json.dumps({
                 "user_id": user_id, "event_id": event_id,
                 "ts": (T0 + timedelta(minutes=minutes)).isoformat()}) + "\n")
+    # FileStreamSource orders files by modification time; files written
+    # within the same clock tick tie and batch order becomes arbitrary
+    # under maxFilesPerTrigger=1 — pin it explicitly
+    os.utime(p, (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
 def _run(spark, in_dir, out_dir, ck):
@@ -57,6 +63,54 @@ def test_gap_closes_sessions_and_state_spans_batches(spark, tmp_path):
     assert got[(1, 2)].n_events == 2
     assert got[(1, 2)].duration_ms == 2 * 60 * 1000
     assert got[(1, 2)].closed_by == "timeout"
+
+
+def test_admissible_late_event_across_batches(spark, tmp_path):
+    """Pins the late-data contract (ADVICE r2): an admissible-but-late
+    event — above the late-filter watermark but behind both the user's
+    session clock and the eviction watermark — must (a) not kill the
+    query via setTimeoutTimestamp <= watermark, and (b) join the open
+    session WITHOUT rewinding its clock (last_ms stays monotone).
+
+    maxFilesPerTrigger=1 forces one micro-batch per dropped file so the
+    watermark leaps between batches inside one run: Spark filters late
+    rows with the PREVIOUS batch's watermark but checks timeout
+    timestamps against the CURRENT one — the crash window this test
+    drives through.
+    """
+    in_dir, out_dir, ck = tmp_path / "drop", tmp_path / "out", tmp_path / "ck"
+    # batch 1: user 1 opens a session (100,115) -> wm = 115-60 = 55
+    _drop(in_dir, [(1, 1, 100), (1, 2, 115)])
+    # batch 2: watermark leaps to 640 (user 9 @ 700)
+    _drop(in_dir, [(9, 4, 700)])
+    # batch 3: user-1 event @ 110 — admissible under the lagged late
+    # filter (>=55), BEHIND the session clock (115), and 530 min behind
+    # the eviction watermark (640): pre-fix this batch rewound last_ms
+    # to 110 and threw IllegalArgumentException (timeout 140 <= wm
+    # 640), killing the query
+    _drop(in_dir, [(1, 5, 110), (9, 6, 710)])
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1).json(str(in_dir))
+    q = (sessionize_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", str(out_dir))
+         .outputMode("append")
+         .option("checkpointLocation", str(ck))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()  # pre-fix: StreamingQueryException here
+
+    # drive the watermark past the clamped timeout -> flush user 1
+    _drop(in_dir, [(9, 7, 1400)])
+    got = _run(spark, in_dir, out_dir, ck)
+    flushed = got[(1, 1)]
+    assert flushed.closed_by == "timeout"
+    # duration must be 115-100 in BOTH admissible branches — the late
+    # @110 event may be counted (n=3, lagged filter admits it) or
+    # dropped (n=2), but it must never REWIND last_ms to 110
+    assert flushed.duration_ms == 15 * 60 * 1000
+    assert flushed.n_events in (2, 3)
 
 
 def test_batch_twin_parity_on_gap_closed_sessions(spark, tmp_path):
