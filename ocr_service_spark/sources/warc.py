@@ -38,10 +38,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["build_record", "write_warc_bytes", "parse_warc", "read_warc",
-           "WARC_SCHEMA"]
+           "warc_file_stats", "WARC_SCHEMA", "WARC_STATS_SCHEMA"]
 
 WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
-               "content_type string, warc_file string")
+               "content_type string, warc_file string, n_skipped long")
+
+WARC_STATS_SCHEMA = "warc_file string, n_records long, n_skipped long"
 
 _CRLF = b"\r\n"
 
@@ -72,29 +74,56 @@ def write_warc_bytes(records: list[tuple[str, datetime, bytes]],
     return out.getvalue()
 
 
-def _split_members(raw: bytes) -> Iterator[bytes]:
+def _split_members(raw: bytes, stats: dict | None = None) -> Iterator[bytes]:
     """Decompress a concatenated gzip-member stream (or pass plain
-    bytes through untouched)."""
+    bytes through untouched). A corrupt member never fails the file:
+    on zlib.error the scanner resyncs to the next 1f8b gzip magic and
+    keeps going (counted in stats['n_skipped'] — at least one record
+    was lost). A truncated FINAL member decompresses partially without
+    raising (no eof flag); its partial bytes still yield (whole records
+    inside parse fine) and the cut is counted too."""
     if raw[:2] != b"\x1f\x8b":
         yield raw
         return
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        yield d.decompress(raw[pos:])
+        try:
+            chunk = d.decompress(raw[pos:])
+        except zlib.error:
+            if stats is not None:
+                stats["n_skipped"] = stats.get("n_skipped", 0) + 1
+            nxt = raw.find(b"\x1f\x8b", pos + 2)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield chunk
+        if not d.eof:  # truncated final member: partial data, no error
+            if stats is not None:
+                stats["n_skipped"] = stats.get("n_skipped", 0) + 1
+            return
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:  # pragma: no cover - corrupt trailing garbage
             return
         pos += consumed
 
 
-def parse_warc(raw: bytes) -> Iterator[dict]:
+def parse_warc(raw: bytes, stats: dict | None = None) -> Iterator[dict]:
     """Archive bytes → response-record dicts (url, warc_ts, payload,
     content_type). Non-response records (warcinfo, request, metadata)
-    are skipped, matching standard CC extraction readers; malformed
-    records are skipped rather than failing the file (the row-level
-    skip-on-error contract, kernel/dispatch.py)."""
-    for chunk in _split_members(raw):
+    are filtered BY DESIGN (standard CC extraction-reader behavior) and
+    not counted; malformed records — corrupt gzip member, unterminated
+    or CRLF-less header block, bad Content-Length, bad WARC-Date,
+    missing Target-URI — are skipped rather than failing the file (the
+    row-level skip-on-error contract, kernel/dispatch.py) and COUNTED
+    in stats['n_skipped'] so silent drops are observable."""
+
+    def skip() -> None:
+        if stats is not None:
+            stats["n_skipped"] = stats.get("n_skipped", 0) + 1
+
+    for chunk in _split_members(raw, stats):
         pos = 0
         while True:
             start = chunk.find(b"WARC/", pos)
@@ -102,6 +131,9 @@ def parse_warc(raw: bytes) -> Iterator[dict]:
                 break
             hdr_end = chunk.find(_CRLF + _CRLF, start)
             if hdr_end < 0:
+                # unterminated header block (truncation or LF-only
+                # line endings): nothing after it is parseable
+                skip()
                 break
             headers: dict[str, str] = {}
             for line in chunk[start:hdr_end].split(_CRLF)[1:]:
@@ -111,19 +143,30 @@ def parse_warc(raw: bytes) -> Iterator[dict]:
             try:
                 length = int(headers.get("content-length", ""))
             except ValueError:
+                skip()
+                pos = hdr_end + 4
+                continue
+            if length < 0:
+                skip()
                 pos = hdr_end + 4
                 continue
             body = chunk[hdr_end + 4:hdr_end + 4 + length]
             pos = hdr_end + 4 + length
             if headers.get("warc-type") != "response":
+                continue  # by-design filter, not a drop
+            if len(body) < length:
+                # lying Content-Length / truncated payload
+                skip()
                 continue
             url = headers.get("warc-target-uri")
             date = headers.get("warc-date", "")
             try:
                 ts = datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
             except ValueError:
+                skip()
                 continue
             if url is None:
+                skip()
                 continue
             yield {
                 "url": url,
@@ -146,8 +189,11 @@ def read_warc(spark: SparkSession, path: str,
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                recs = list(parse_warc(bytes(content)))
+                stats: dict = {}
+                recs = list(parse_warc(bytes(content), stats))
                 if not recs:
+                    # a fully-corrupt archive yields no rows here; its
+                    # drop count stays observable via warc_file_stats
                     continue
                 yield pd.DataFrame({
                     "url": [r["url"] for r in recs],
@@ -155,6 +201,33 @@ def read_warc(spark: SparkSession, path: str,
                     "html": [r["payload"] for r in recs],
                     "content_type": [r["content_type"] for r in recs],
                     "warc_file": [path_] * len(recs),
+                    "n_skipped": [stats.get("n_skipped", 0)] * len(recs),
                 })
 
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def warc_file_stats(spark: SparkSession, path: str,
+                    glob: str = "*.warc.gz") -> DataFrame:
+    """Per-archive audit: (warc_file, n_records, n_skipped) — one row
+    per file even when EVERY record was dropped, so a corrupt archive
+    can't disappear silently (read_warc emits no rows for it). Same
+    file-level parallelism as read_warc; meant for ingest monitoring
+    and lineage, not the hot path."""
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob)
+        .load(path).select("path", "content")
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                stats: dict = {}
+                n = sum(1 for _ in parse_warc(bytes(content), stats))
+                yield pd.DataFrame({
+                    "warc_file": [path_],
+                    "n_records": [n],
+                    "n_skipped": [stats.get("n_skipped", 0)],
+                })
+
+    return files.mapInPandas(audit, schema=WARC_STATS_SCHEMA)

@@ -35,6 +35,43 @@ def test_non_response_and_malformed_records_skipped():
     assert len(got) == 1 and got[0]["url"] == RECS[0][0]
 
 
+def test_skip_accounting_and_file_stats(spark, tmp_path):
+    """read_warc surfaces per-file n_skipped; warc_file_stats reports
+    one row per archive even when every record was dropped."""
+    from ocr_service_spark.sources.warc import warc_file_stats
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    # clean archive, archive with one truncated member, fully-corrupt
+    (d / "clean.warc.gz").write_bytes(write_warc_bytes(RECS))
+    import gzip as _gz
+    good = _gz.compress(build_record(*RECS[0]), mtime=0)
+    cut = _gz.compress(build_record(*RECS[1]), mtime=0)[:40]
+    (d / "partial.warc.gz").write_bytes(good + cut)
+    (d / "garbage.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 64)
+
+    rows = read_warc(spark, str(d)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.warc_file.rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["clean.warc.gz"]) == 2
+    assert all(r.n_skipped == 0 for r in by_file["clean.warc.gz"])
+    assert len(by_file["partial.warc.gz"]) == 1
+    assert by_file["partial.warc.gz"][0].n_skipped >= 1
+    assert "garbage.warc.gz" not in by_file  # no rows ...
+
+    stats = {r.warc_file.rsplit("/", 1)[-1]: r
+             for r in warc_file_stats(spark, str(d)).collect()}
+    assert set(stats) == {"clean.warc.gz", "partial.warc.gz",
+                          "garbage.warc.gz"}  # ... but never invisible
+    assert stats["clean.warc.gz"].n_records == 2
+    assert stats["clean.warc.gz"].n_skipped == 0
+    assert stats["partial.warc.gz"].n_records == 1
+    assert stats["partial.warc.gz"].n_skipped >= 1
+    assert stats["garbage.warc.gz"].n_records == 0
+    assert stats["garbage.warc.gz"].n_skipped >= 1
+
+
 def test_read_warc_spark_and_extraction(spark, tmp_path):
     import gzip
 
