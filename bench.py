@@ -39,6 +39,13 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "extract_roundtrip",
+    # training-data heavyweights (judge r2 #3): without a
+    # round-over-round timing record a regression here is invisible
+    "jaccard_pairs",
+    "chunk_dedup",
+    "embedding_ivf_ann",
+    "token_entropy",
+    "ngram_repetition",
 ]
 
 
@@ -48,15 +55,20 @@ def run_once(sf_dir: str, cores: int) -> dict:
     from ocr_service_spark.queries import QUERIES
     from ocr_service_spark.session import build_session
 
-    # Shuffle width caps at 16 on wide sessions: the UDF stage runs one
+    # Shuffle width caps on wide sessions: the UDF stage runs one
     # Python worker per post-shuffle partition, and this host's peak
     # measured extraction throughput is at ~16 concurrent workers
     # (13.6k docs/s; beyond that, overcommitted vCPUs inflate per-doc
     # CPU 3-5x with multi-minute bad phases — BENCH.md "why 8->32
     # cannot"). Same tuning a real cluster does per-node via executor
-    # sizing; scan/join parallelism is unaffected.
+    # sizing; scan/join parallelism is unaffected. The cap is an env
+    # override (ADVICE r2) — this host's measured peak is merely the
+    # DEFAULT, so wider hosts can open it up — and the effective width
+    # rides the emitted JSON so results are self-describing.
+    cap = int(os.environ.get("SPARK_GRAFT_SHUFFLE_CAP", "16"))
+    shuffle_partitions = min(max(cores, 8), cap)
     spark = build_session("bench", cores=cores,
-                          shuffle_partitions=min(max(cores, 8), 16))
+                          shuffle_partitions=shuffle_partitions)
     timings: dict[str, float] = {}
 
     # warm the JVM/codegen so per-query numbers measure the plan, not startup
@@ -97,6 +109,7 @@ def run_once(sf_dir: str, cores: int) -> dict:
     spark.stop()
     return {
         "timings": timings,
+        "shuffle_partitions": shuffle_partitions,
         "flagship_docs": n_docs,
         "flagship_docs_per_sec": round(n_docs / flagship_s, 1),
         "corpus_docs": n_corpus,
@@ -284,6 +297,7 @@ def main() -> None:
         "queries": r["timings"],
         "sf": sf,
         "cores": cores,
+        "shuffle_partitions": r["shuffle_partitions"],
         "extract_docs_per_sec": r["corpus_docs_per_sec"],
         "flagship_docs_per_sec": r["flagship_docs_per_sec"],
     }))

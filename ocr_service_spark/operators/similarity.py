@@ -136,19 +136,22 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantizer, trained deterministically: seeds = the
-    `n_clusters` lowest-id vectors, ONE Lloyd refinement (assign all
-    vectors to their nearest seed by rounded cosine, recompute each
-    centroid as the element-wise mean). Engine-portable by
-    construction: position-sums go through DECIMAL(18,9) so partial-agg
-    order can't change a bit, means round to 6 dp — the DuckDB oracle
-    reproduces every centroid exactly.
+    `n_clusters` lowest-id vectors (orderBy+limit — correct for sparse
+    or non-zero-based ids too, ADVICE r2; compiles to
+    TakeOrderedAndProject, a per-partition top-n + driver merge, NOT a
+    global sort), ONE Lloyd refinement (assign all vectors to their
+    nearest seed by rounded cosine, recompute each centroid as the
+    element-wise mean). Engine-portable by construction: position-sums
+    go through DECIMAL(18,9) so partial-agg order can't change a bit,
+    means round to 6 dp — the DuckDB oracle reproduces every centroid
+    exactly.
 
     Scale shape: seeds broadcast (n_clusters rows), assignment is a
     map-side broadcast join + per-row argmax, the mean is a
     map-side-combinable agg on (cluster, position) — one shuffle of
     n_clusters*dim tiny rows. Lloyd iterations beyond one are the same
     job repeated; production IVF trains on a sample anyway."""
-    seeds = emb.filter(F.col(id_col) < n_clusters).select(
+    seeds = emb.orderBy(F.asc(id_col)).limit(n_clusters).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("sv"))
     scored = emb.join(F.broadcast(seeds)).select(
         id_col, vec_col, "cid",

@@ -2005,7 +2005,8 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, k: int = 3,
     cos_qv = _COS_SQL.format(a="p.qv", b="i.embedding")
     return f"""
     WITH seeds AS (
-      SELECT vec_id AS cid, embedding AS sv FROM embeddings WHERE vec_id < {n_clusters}
+      SELECT vec_id AS cid, embedding AS sv FROM embeddings
+      ORDER BY vec_id LIMIT {n_clusters}
     ), a0 AS (
       SELECT e.vec_id, e.embedding, s.cid, {cos_es} AS cs
       FROM embeddings e CROSS JOIN seeds s

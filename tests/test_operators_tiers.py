@@ -158,6 +158,33 @@ def test_ivf_topk_finds_planted_neighbor(spark):
     assert len(got) == 1 and got[0].neighbor_id == 6
 
 
+def test_ivf_handles_sparse_nonzero_ids(spark):
+    """ADVICE r2: seeds must be the n_clusters lowest ids, not
+    `id < n_clusters` — with ids starting at 1000 the old predicate
+    selected an empty seed set and ivf_topk silently returned nothing."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        center = 1.0 if i % 2 == 0 else -1.0
+        rows.append((1000 + i * 7,
+                     [center + rng.uniform(-0.05, 0.05) for _ in range(64)]))
+    base = rows[6][1]
+    rows.append((9999, [v + 0.001 for v in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from ocr_service_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    cents = ivf_centroids(emb, n_clusters=4).collect()
+    assert len(cents) == 4
+    assert sorted(c.cid for c in cents) == [1000, 1007, 1014, 1021]
+
+    got = ivf_topk(emb, emb.filter(F.col("vec_id") == 9999), k=1,
+                   n_clusters=4, n_probe=2).collect()
+    assert len(got) == 1 and got[0].neighbor_id == rows[6][0]
+
+
 def test_minhash_row_sigs_equals_agg_form(spark):
     """Per-row fold and explode+groupBy MUST produce identical
     signatures — they share the hash family and shingle set."""
