@@ -26,14 +26,16 @@ def _clamp01(c: Column) -> Column:
 
 def text_quality(text: Column) -> Column:
     """struct(alpha_ratio, length_score, n_chars, n_tokens) — integer
-    counts ratioed once, deterministic."""
+    counts ratioed once, deterministic. n_tokens shares the tier-wide
+    tokenizer (textstats.tokens: F6-normalized, empty -> 0), so quality
+    stats and the dedup/filter tier can never disagree on a count."""
+    from ocr_service_spark.functions.textstats import tokens
+
     n_chars = F.length(text)
     letters = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
     alpha_ratio = F.when(n_chars > 0, letters / n_chars).otherwise(F.lit(0.0))
     length_score = F.least(F.lit(1.0), n_chars / F.lit(200.0))
-    n_tokens = F.when(
-        F.length(F.trim(text)) > 0, F.size(F.split(F.trim(text), r"\s+"))
-    ).otherwise(F.lit(0))
+    n_tokens = F.size(tokens(text))
     return F.struct(
         alpha_ratio.alias("alpha_ratio"),
         length_score.alias("length_score"),

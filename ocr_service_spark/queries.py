@@ -43,6 +43,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# DuckDB twins of textstats.norm_ws / textstats.tokens — every
+# token-tier oracle routes through these so the SQL side tokenizes
+# realistic text (multi-space runs, tabs/newlines, empty docs) exactly
+# like the Spark side (judge r2 #1). The whitespace class is spelled
+# out in hex because Java \s and RE2 \s disagree on vertical tab
+# (textstats.WS_CLASS); both sides map empty/whitespace-only text to
+# [] rather than [''].
+_NRM_SQL = ("trim(regexp_replace(text, "
+            "'[ \\x09\\x0A\\x0B\\x0C\\x0D]+', ' ', 'g'))")
+_TOKS_SQL = (f"CASE WHEN {_NRM_SQL} = '' THEN [] "
+             f"ELSE string_split({_NRM_SQL}, ' ') END")
+
+
 # ---------------------------------------------------------------------------
 # Aggregation tier (SURVEY.md §2.4: A1/A8 analogs on TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -530,7 +543,7 @@ _CORR_VALUES = ", ".join(f"('{o}', '{c}')" for o, c in _CORRECTIONS)
     oracle=f"""
     WITH corrections(original, corrected) AS (VALUES {_CORR_VALUES}),
     toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok
       FROM documents WHERE doc_id < 200
     ),
     exact AS (
@@ -554,10 +567,12 @@ def correction_join(spark, sf_dir):
     is a broadcast nested-loop against the tiny corrections dim with a
     cheap length-delta prefilter before levenshtein — the rewrite of the
     reference's O(tokens x corrections) python scan."""
+    from ocr_service_spark.functions.textstats import tokens
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     corr = spark.createDataFrame(_CORRECTIONS, "original string, corrected string")
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     exact = (
         toks.join(F.broadcast(corr), toks.tok == corr.original)
         .groupBy("original", "corrected")
@@ -742,17 +757,25 @@ ORACLE_SQL["field_validation"] = _field_oracle()
 
 @query(
     "text_quality",
-    oracle="""
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) / length(text)
+                  ELSE 0.0 END AS alpha,
+             least(1.0, length(text) / 200.0) AS lscore,
+             length(text) AS n_chars,
+             len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+    )
     SELECT doc_id,
-           ROUND(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) / length(text), 4) AS alpha_ratio,
-           ROUND(least(1.0, length(text) / 200.0), 4) AS length_score,
-           length(text) AS n_chars,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           ROUND(alpha, 4) AS alpha_ratio,
+           ROUND(lscore, 4) AS length_score,
+           n_chars,
+           n_tokens,
            greatest(0.0, least(1.0, ROUND(
-             0.3 * (length(regexp_replace(text, '[^\\p{L}]', '', 'g')) / length(text))
-             + 0.5 * 0.9
-             + 0.2 * least(1.0, length(text) / 200.0), 4))) AS overall_quality
-    FROM documents
+             0.3 * alpha + 0.5 * 0.9 + 0.2 * lscore, 4))) AS overall_quality
+    FROM q
     """,
 )
 def text_quality_q(spark, sf_dir):
@@ -788,15 +811,18 @@ _EN_STOPS = ("the", "a")
 @query(
     "lang_profile",
     oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+    )
     SELECT doc_id, lang,
-           len(string_split(text, ' ')) AS n_tokens,
-           ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-                 / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
+           len(toks) AS n_tokens,
+           ROUND(len(list_filter(toks, t -> t IN ('the', 'a')))
+                 / greatest(len(toks), 1), 4) AS stop_ratio,
            regexp_matches(text, '[Ѐ-ӿ]') AS has_cyrillic,
-           CASE WHEN ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-                     / greatest(len(string_split(text, ' ')), 1), 4) >= 0.05
+           CASE WHEN ROUND(len(list_filter(toks, t -> t IN ('the', 'a')))
+                     / greatest(len(toks), 1), 4) >= 0.05
                 THEN 'en' ELSE 'other' END AS guess_lang
-    FROM documents
+    FROM d
     """,
 )
 def lang_profile(spark, sf_dir):
@@ -819,20 +845,28 @@ def lang_profile(spark, sf_dir):
 
 @query(
     "token_stats",
-    oracle="""
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    )
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
-           len(list_distinct(string_split(text, ' '))) AS n_distinct,
-           ROUND(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
-                 / len(string_split(text, ' ')), 4) AS avg_token_len,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
-    FROM documents
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CASE WHEN len(toks) > 0
+                THEN ROUND(list_sum(list_transform(toks, t -> length(t)))
+                           / len(toks), 4)
+                ELSE NULL END AS avg_token_len,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\x09\\x0A\\x0B\\x0C\\x0D]')) AS bpe_ish_tokens
+    FROM d
     """,
 )
 def token_stats(spark, sf_dir):
     """Token counting for the training-data tier (whitespace + BPE-ish
     regex segmentation; reference analog F9 word count,
-    core/ocr_engine.py:281)."""
+    core/ocr_engine.py:281). Empty/whitespace-only docs report
+    n_tokens = 0 and a NULL avg_token_len (never a divide-by-zero —
+    ANSI mode would throw)."""
     from ocr_service_spark.functions.textstats import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -841,27 +875,34 @@ def token_stats(spark, sf_dir):
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(
-            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
-            / F.size(toks), 4,
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                F.aggregate(F.transform(toks, F.length), F.lit(0),
+                            lambda a, x: a + x) / F.size(toks), 4),
         ).alias("avg_token_len"),
         F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+            # \s spelled out: Java's class includes \x0B, RE2's doesn't
+            F.regexp_extract_all(
+                F.col("text"),
+                F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \x09\x0A\x0B\x0C\x0D]"),
+                F.lit(0))
         ).alias("bpe_ish_tokens"),
     )
 
 
 @query(
     "doc_fingerprint",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, text, {_NRM_SQL} AS nrm, {_TOKS_SQL} AS toks
+      FROM documents
     ), s AS (
       SELECT doc_id, text,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct(list_transform(range(0, len(toks) - 2),
                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
-                  ELSE [text] END AS sh
+                  ELSE [nrm] END AS sh
       FROM t
     )
     SELECT doc_id,
@@ -908,9 +949,9 @@ def exact_dedup_q(spark, sf_dir):
 
 @query(
     "jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ), sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
              i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))))) AS g
@@ -978,7 +1019,7 @@ def _shingle_hash_sql() -> str:
     """DuckDB twin of textstats.token_hash(...) % MINHASH_PRIME over
     exploded 3-gram shingles."""
     return (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),\n"
+        f"WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),\n"
         "    sh AS (SELECT doc_id,\n"
         "      ('0x' || substr(unnest(list_distinct(list_transform(range(0, len(toks) - 2),\n"
         "        i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))))), 1, 15))::BIGINT\n"
@@ -1121,7 +1162,7 @@ def _simhash_oracle() -> str:
     )
     return (
         "WITH h AS (SELECT doc_id,\n"
-        "      ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h\n"
+        f"      ('0x' || substr(md5(unnest({_TOKS_SQL})), 1, 15))::BIGINT AS h\n"
         "    FROM documents),\n"
         f"    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)\n"
         f"    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash32 FROM s"
@@ -1716,9 +1757,9 @@ def pdf_extract(spark, sf_dir):
 
 @query(
     "chunk_dedup",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ), c AS (
       SELECT doc_id,
              md5(array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ')) AS h
@@ -1747,14 +1788,20 @@ def chunk_dedup(spark, sf_dir):
     Never doc×doc. Skew: a boilerplate chunk shared by millions of
     docs is ONE counter row here (contrast jaccard_pairs, which needs
     the pair expansion and hence the drop_hot_shingles guard)."""
+    from ocr_service_spark.functions.textstats import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))
     nb = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nb - 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16))),
     )
-    ex = docs.select("doc_id", F.explode(chunks).alias("h"))
+    # empty docs: nb = 0 would make sequence(0, -1) DESCEND ([0, -1])
+    # and fabricate two bogus chunks — filter them out (the oracle's
+    # range(0, 0) drops them implicitly)
+    ex = docs.filter(F.size(toks) > 0).select(
+        "doc_id", F.explode(chunks).alias("h"))
     occ = ex.groupBy("h").agg(F.count("*").alias("n_occ"))
     dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
     return (
@@ -1896,9 +1943,9 @@ def sessionize_stream_q(spark, sf_dir):
 
 @query(
     "train_split",
-    oracle="""
+    oracle=f"""
     WITH h AS (
-      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens,
              ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
       FROM documents
     )
@@ -1920,6 +1967,8 @@ def train_split(spark, sf_dir):
     idempotency and can't be oracle-checked. Pure map, no shuffle;
     the hash is the portable 60-bit md5 prefix used across the repo
     (lineage.bucket_expr twin)."""
+    from ocr_service_spark.functions.textstats import tokens
+
     docs = _t(spark, sf_dir, "documents")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
@@ -1930,7 +1979,7 @@ def train_split(spark, sf_dir):
     return docs.select(
         "doc_id",
         "lang",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
         F.when(bucket < 80, F.lit("train"))
          .when(bucket < 90, F.lit("valid"))
          .otherwise(F.lit("test")).alias("split"),
@@ -2067,9 +2116,9 @@ ORACLE_SQL["embedding_ivf_ann"] = _ivf_oracle()
 
 @query(
     "token_entropy",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ), c AS (
       SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY doc_id, tok
     )
@@ -2088,8 +2137,10 @@ def token_entropy(spark, sf_dir):
     while its input distribution is fully gated. Scale shape: explode
     → (doc, token) count (map-side combinable) → per-doc agg; one
     shuffle on doc_id."""
+    from ocr_service_spark.functions.textstats import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    c = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    c = (docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
          .groupBy("doc_id", "tok").agg(F.count("*").alias("n")))
     return c.groupBy("doc_id").agg(
         F.sum("n").alias("n_tokens"),
@@ -2099,24 +2150,27 @@ def token_entropy(spark, sf_dir):
 
 @query(
     "gopher_rules",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents
+      SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
     ), m AS (
       SELECT doc_id,
              len(toks) AS n_words,
-             ROUND(list_sum(list_transform(toks, w -> length(w)))
-                   / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
-             ROUND(len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-zА-Яа-яЁё]+$')))
-                   / CAST(len(toks) AS DOUBLE), 4) AS alpha_word_ratio,
-             ROUND(len(list_filter(toks, w -> w IN ('the', 'a', 'and', 'of', 'to')))
-                   / CAST(len(toks) AS DOUBLE), 4) AS stop_hit_ratio
+             CASE WHEN len(toks) > 0 THEN
+               ROUND(list_sum(list_transform(toks, w -> length(w)))
+                     / CAST(len(toks) AS DOUBLE), 4) END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN
+               ROUND(len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-zА-Яа-яЁё]+$')))
+                     / CAST(len(toks) AS DOUBLE), 4) END AS alpha_word_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               ROUND(len(list_filter(toks, w -> w IN ('the', 'a', 'and', 'of', 'to')))
+                     / CAST(len(toks) AS DOUBLE), 4) END AS stop_hit_ratio
       FROM t
     )
     SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stop_hit_ratio,
-           (n_words BETWEEN 50 AND 100000
+           coalesce(n_words BETWEEN 50 AND 100000
             AND mean_word_len BETWEEN 3 AND 10
-            AND alpha_word_ratio >= 0.8) AS passes_gopher
+            AND alpha_word_ratio >= 0.8, FALSE) AS passes_gopher
     FROM m
     """,
 )
@@ -2125,36 +2179,41 @@ def gopher_rules(spark, sf_dir):
     public filter set; training-data tier, beyond the reference): word
     count bounds, mean word length in [3,10], ≥80% alphabetic words,
     stopword-hit ratio — all native exprs over one tokenization, pure
-    map, rounded on both sides before any comparison."""
+    map, rounded on both sides before any comparison. Empty docs get
+    NULL ratios (guarded — ANSI division by zero throws) and
+    passes_gopher = false (coalesced on both sides)."""
+    from ocr_service_spark.functions.textstats import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))
     n_words = F.size(toks)
-    fl = lambda c: c / n_words.cast("double")
-    mean_wl = F.round(
-        fl(F.aggregate(F.transform(toks, F.length),
-                       F.lit(0), lambda a, v: a + v)), 4)
-    alpha_ratio = F.round(
-        fl(F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-zА-Яа-яЁё]+$")))), 4)
+    fl = lambda c: F.when(n_words > 0,
+                          F.round(c / n_words.cast("double"), 4))
+    mean_wl = fl(F.aggregate(F.transform(toks, F.length),
+                             F.lit(0), lambda a, v: a + v))
+    alpha_ratio = fl(F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-zА-Яа-яЁё]+$"))))
     stops = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to")])
-    stop_ratio_ = F.round(
-        fl(F.size(F.filter(toks, lambda w: F.array_contains(stops, w)))), 4)
+    stop_ratio_ = fl(F.size(F.filter(toks, lambda w: F.array_contains(stops, w))))
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         alpha_ratio.alias("alpha_word_ratio"),
         stop_ratio_.alias("stop_hit_ratio"),
-        (n_words.between(50, 100_000)
-         & mean_wl.between(3, 10)
-         & (alpha_ratio >= 0.8)).alias("passes_gopher"),
+        F.coalesce(
+            n_words.between(50, 100_000)
+            & mean_wl.between(3, 10)
+            & (alpha_ratio >= 0.8),
+            F.lit(False),
+        ).alias("passes_gopher"),
     )
 
 
 @query(
     "ngram_repetition",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ), b AS (
       SELECT doc_id,
              toks[i] || ' ' || toks[i + 1] AS bigram
@@ -2177,8 +2236,10 @@ def ngram_repetition(spark, sf_dir):
     Scale shape: per-row bigram explode → (doc, bigram) count
     (map-side combinable) → per-doc max/sum; one shuffle on doc_id,
     bounded by distinct bigrams per doc."""
+    from ocr_service_spark.functions.textstats import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
