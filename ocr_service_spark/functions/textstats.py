@@ -21,8 +21,12 @@ __all__ = [
     "norm_ws",
     "tokens",
     "token_hash",
+    "let_col",
+    "grams",
+    "gram_hashes",
     "shingles",
     "minhash_expr",
+    "minhash_fold",
     "minhash_row_sigs",
     "stop_ratio",
     "bpe_ish_count",
@@ -78,6 +82,35 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
 
 
+def let_col(val: Column, body) -> Column:
+    """Poor-man's `let` for Catalyst: bind `val` once per row via a
+    single-element transform and evaluate `body` against the bound
+    lambda variable. Catalyst inlines expression references — an
+    expensive expr (e.g. tokenization regex) referenced inside a
+    `transform(sequence(...), i -> ...slice(expr...))` loop is
+    RE-EVALUATED PER ELEMENT (measured 5x slowdown on the shingle
+    tier); a lambda variable is an O(1) read."""
+    return F.get(F.transform(F.array(val), body), 0)
+
+
+def grams(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from a BOUND token-array column. Callers must
+    project the token array first (one evaluation per row) — passing
+    `tokens(text)` inline here would re-run the normalization regex
+    once per sequence element (see let_col)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def gram_hashes(toks: Column, n: int = 3) -> Column:
+    """Distinct 60-bit n-gram shingle hashes from a bound token-array
+    column — distinct applied AFTER hashing, matching the oracle twins
+    (a 60-bit collision is mirrored on both engines)."""
+    return F.array_distinct(F.transform(grams(toks, n), token_hash))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; documents shorter than n tokens
     collapse to a single whole-text shingle (of the NORMALIZED text, so
@@ -130,21 +163,19 @@ def bpe_ish_count(text: Column) -> Column:
     )
 
 
-def minhash_row_sigs(text: Column, k: int = 8) -> Column:
-    """K MinHash signatures computed PER ROW — array<bigint> of k mins
-    folded in one pass over the shingle-hash array (F.aggregate +
+def minhash_fold(hx: Column, k: int = 8) -> Column:
+    """K MinHash signatures folded PER ROW over a bound array of
+    shingle hashes — array<bigint> of k mins in one pass (F.aggregate +
     zip_with against a constant (a,b) table). Unlike minhash_expr's
     explode + groupBy shape this needs NO shuffle and no row blow-up:
     signature generation over 10^12 docs becomes a pure map stage, and
     only the (tiny) signatures ever hit an exchange (e.g. the LSH band
-    join). minhash_expr stays for incremental/streaming aggregation
-    where shingles arrive pre-exploded."""
+    join). `hx` values need not be pre-reduced mod p and may contain
+    duplicates — (a*(x mod p)+b) mod p == (a*x+b) mod p is applied
+    here, and MIN is duplicate-immune. minhash_expr stays for
+    incremental/streaming aggregation where shingles arrive
+    pre-exploded."""
     p = F.lit(MINHASH_PRIME)
-    hx = F.transform(
-        shingles(text, 3),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
-        .cast("bigint") % p,
-    )
     consts = F.array(*[
         F.struct(F.lit(a % MINHASH_PRIME).alias("a"), F.lit(b).alias("b"))
         for a, b in MINHASH_COEFFS[:k]
@@ -153,5 +184,15 @@ def minhash_row_sigs(text: Column, k: int = 8) -> Column:
     return F.aggregate(
         hx, init,
         lambda acc, x: F.zip_with(
-            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % p)),
+            acc, consts,
+            lambda m, c: F.least(m, (c["a"] * (x % p) + c["b"]) % p)),
     )
+
+
+def minhash_row_sigs(text: Column, k: int = 8) -> Column:
+    """Compat wrapper: minhash_fold over this text's shingle hashes.
+    Hot-path queries should project `tokens(text)` first and call
+    minhash_fold(gram_hashes(toks)) — inlining text here re-runs the
+    tokenization per shingle (see let_col)."""
+    return minhash_fold(
+        F.transform(shingles(text, 3), token_hash), k)

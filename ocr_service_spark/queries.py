@@ -917,12 +917,20 @@ def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: whole-content md5, 8-hex prefix, and
     the lexicographic-min 3-gram shingle hash (a 1-permutation MinHash
     — the rolling-fingerprint of the training-data tier). All hex
-    strings: portable across engines bit-for-bit."""
-    from ocr_service_spark.functions.textstats import shingles
+    strings: portable across engines bit-for-bit. Token array projected
+    once (textstats.let_col rationale)."""
+    from ocr_service_spark.functions.textstats import grams, norm_ws, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(F.col("text"), 3)
-    return docs.select(
+    d = docs.select(
+        "doc_id", "text",
+        norm_ws(F.col("text")).alias("nrm"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    sh = F.array_distinct(
+        F.when(F.size("toks") >= 3, grams(F.col("toks"), 3))
+        .otherwise(F.array(F.col("nrm"))))
+    return d.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
         F.substring(F.md5("text"), 1, 8).alias("fp8"),
@@ -954,7 +962,7 @@ def exact_dedup_q(spark, sf_dir):
       SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
     ), sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
-             i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' '))))) AS g
+             i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 3), ' ')), 1, 15))::BIGINT))) AS g
       FROM t WHERE len(toks) >= 3
     ), hot AS (
       SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) > 100
@@ -983,16 +991,27 @@ def jaccard_pairs(spark, sf_dir):
     are stop-shingles and are excluded (broadcast anti-join) before the
     self-join, bounding per-shingle fan-out to 100^2 pairs at any
     corpus size; sizes/jaccard are computed on the surviving shingle
-    sets so both engines see identical semantics."""
-    from ocr_service_spark.functions.textstats import shingles, tokens
+    sets so both engines see identical semantics. Shingle keys are
+    60-bit integer hashes (not 32-char md5 hex strings — r3): the
+    self-join shuffles ~4x fewer key bytes for identical pair counts,
+    and the oracle uses the same hash so even a collision is mirrored."""
+    from ocr_service_spark.functions.textstats import gram_hashes, tokens
     from ocr_service_spark.operators.dedup import drop_hot_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id",
-        F.explode(F.transform(shingles(F.col("text"), 3), F.md5)).alias("g"),
-    )
+    # token array projected ONCE before the shingle transform — inlining
+    # tokens() re-runs the normalization regex per gram (textstats.let_col)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3)
+    sh = d.select(
+        "doc_id", F.explode(gram_hashes(F.col("toks"), 3)).alias("g"))
     sh = drop_hot_shingles(sh, "g", max_df=100)
+    # Materialize the surviving shingle table ONCE: it feeds three
+    # consumers (per-doc sizes + both self-join sides) and would
+    # otherwise recompute the tokenize→shingle→hash explode each time.
+    # At production scale this is the written-once bucketed shingle
+    # table; here localCheckpoint is its in-session equivalent.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -1043,17 +1062,22 @@ def minhash_signatures(spark, sf_dir):
     """K=8 MinHash signatures over 3-gram shingles: universal-hash
     family h_i(x) = (a_i*x + b_i) mod p applied to a portable 60-bit
     shingle hash (first 15 md5 hex chars). Computed PER ROW
-    (minhash_row_sigs: one fold over the shingle array) — the whole
-    query is a shuffle-free map stage; the round-1 explode+groupBy
-    shape paid an exchange of every (doc, shingle) row for the same
-    result. Oracle unchanged (SQL explode+MIN computes the identical
-    mins)."""
-    from ocr_service_spark.functions.textstats import minhash_row_sigs, tokens
+    (minhash_fold: one fold over the projected shingle-hash array) —
+    the whole query is a shuffle-free map stage; the round-1
+    explode+groupBy shape paid an exchange of every (doc, shingle) row
+    for the same result. Oracle unchanged (SQL explode+MIN computes
+    the identical mins)."""
+    from ocr_service_spark.functions.textstats import (
+        gram_hashes,
+        minhash_fold,
+        tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_row_sigs(F.col("text"))
-    return docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3)
+    sig = minhash_fold(gram_hashes(F.col("toks"), 3))
+    return d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
 
 
 ORACLE_SQL["minhash_signatures"] = _shingle_hash_sql() + "    " + _minhash_select()
@@ -1066,12 +1090,17 @@ def minhash_lsh_pairs(spark, sf_dir):
     signatures. Signatures are per-row map-only (minhash_row_sigs), so
     the FIRST shuffle in the whole job is the band self-join of tiny
     signature rows; candidate generation never compares doc×doc."""
-    from ocr_service_spark.functions.textstats import minhash_row_sigs, tokens
+    from ocr_service_spark.functions.textstats import (
+        gram_hashes,
+        minhash_fold,
+        tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_row_sigs(F.col("text"))
-    sigs = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3)
+    sig = minhash_fold(gram_hashes(F.col("toks"), 3))
+    sigs = d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -1793,17 +1822,17 @@ def chunk_dedup(spark, sf_dir):
     from ocr_service_spark.functions.textstats import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    nb = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nb - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 16 + 1, 16))),
-    )
     # empty docs: nb = 0 would make sequence(0, -1) DESCEND ([0, -1])
     # and fabricate two bogus chunks — filter them out (the oracle's
-    # range(0, 0) drops them implicitly)
-    ex = docs.filter(F.size(toks) > 0).select(
-        "doc_id", F.explode(chunks).alias("h"))
+    # range(0, 0) drops them implicitly); toks projected once
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0)
+    nb = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i * 16 + 1, 16))),
+    )
+    ex = d.select("doc_id", F.explode(chunks).alias("h"))
     occ = ex.groupBy("h").agg(F.count("*").alias("n_occ"))
     dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
     return (
@@ -2370,22 +2399,51 @@ def ngram_repetition(spark, sf_dir):
     """Top-bigram repetition fraction (the Gopher/RefinedWeb
     'duplicated n-gram' filter family: a doc whose most frequent
     bigram covers a large share of all bigrams is template spam).
-    Scale shape: per-row bigram explode → (doc, bigram) count
-    (map-side combinable) → per-doc max/sum; one shuffle on doc_id,
-    bounded by distinct bigrams per doc."""
-    from ocr_service_spark.functions.textstats import tokens
+    Scale shape: PURE MAP, zero shuffle — the per-doc top-bigram count
+    is a run-length fold over the doc's SORTED bigram array (equal
+    bigrams are adjacent after array_sort, so the longest run is the
+    max frequency). The r2 explode → (doc, bigram) groupBy shape
+    shuffled every bigram string of every document (12 s at sf0.1);
+    this computes the identical numbers in-row (the oracle still uses
+    the relational GROUP BY form — same math, independent plan)."""
+    from ocr_service_spark.functions.textstats import grams, let_col, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2)
+
+    def run_length_max(sorted_bg):
+        return F.aggregate(
+            sorted_bg,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("bigint"))).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    # bind the bigram array once per row; n_bigrams + the fold read it
+    stats = let_col(
+        grams(F.col("toks"), 2),
+        lambda bg: F.struct(
+            F.size(bg).cast("bigint").alias("n_bigrams"),
+            run_length_max(F.array_sort(bg)).alias("top_bigram_n"),
+        ),
     )
-    c = (docs.filter(F.size(toks) >= 2)
-         .select("doc_id", F.explode(bigrams).alias("bigram"))
-         .groupBy("doc_id", "bigram").agg(F.count("*").alias("n")))
-    return c.groupBy("doc_id").agg(
-        F.sum("n").alias("n_bigrams"),
-        F.max("n").alias("top_bigram_n"),
-        F.round(F.max("n") / F.sum("n").cast("double"), 4).alias("top_bigram_frac"),
+    return d.select("doc_id", stats.alias("s")).select(
+        "doc_id",
+        F.col("s.n_bigrams").alias("n_bigrams"),
+        F.col("s.top_bigram_n").alias("top_bigram_n"),
+        F.round(F.col("s.top_bigram_n") / F.col("s.n_bigrams").cast("double"),
+                4).alias("top_bigram_frac"),
     )
