@@ -1100,7 +1100,13 @@ def minhash_lsh_pairs(spark, sf_dir):
     d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 3)
     sig = minhash_fold(gram_hashes(F.col("toks"), 3))
-    sigs = d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
+    # materialized once: three consumers (bands + both rank-join sides)
+    # would otherwise each recompute the full tokenize→shingle→fold
+    # pipeline; at production scale this is the written-once signature
+    # table
+    sigs = d.select(
+        "doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)]
+    ).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         F.explode(
