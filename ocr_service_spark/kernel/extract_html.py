@@ -262,7 +262,11 @@ def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
                 pos = gt + 1
                 continue
             nxt = text[lt + 1:lt + 2]
-            if nxt.isalpha():
+            # ASCII letters ONLY: html.parser's tag-open test is
+            # <[a-zA-Z]; unicode str.isalpha() is true for 'é' etc.,
+            # which would misroute '<é' into the unterminated-start-tag
+            # branch and swallow real tags after it as text
+            if nxt.isalpha() and nxt.isascii():
                 # start tag that never completes — no '>' ahead, or an
                 # attribute quote left open to EOF (quoted values may
                 # contain '>', so the regex only fails when the

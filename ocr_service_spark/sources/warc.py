@@ -124,6 +124,12 @@ def parse_warc(raw: bytes, stats: dict | None = None) -> Iterator[dict]:
             stats["n_skipped"] = stats.get("n_skipped", 0) + 1
 
     for chunk in _split_members(raw, stats):
+        if chunk and chunk.find(b"WARC/") < 0:
+            # non-empty chunk with no record marker at all: raw garbage
+            # (e.g. an archive truncated inside the 2-byte gzip magic
+            # passes through _split_members undetected) — count it
+            skip()
+            continue
         pos = 0
         while True:
             start = chunk.find(b"WARC/", pos)

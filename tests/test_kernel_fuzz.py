@@ -123,3 +123,17 @@ def test_fast_parser_matches_reference_on_tag_soup(soup):
 def test_fast_parser_never_raises_on_garbage_bytes(raw):
     nodes, charset = parse_nodes(raw, fast=True)
     assert isinstance(nodes, list) and isinstance(charset, str)
+
+
+def test_non_ascii_after_lt_is_text_not_tag():
+    """Regression (hypothesis r3): '<' followed by a NON-ASCII letter is
+    data, not a tag open — html.parser's test is <[a-zA-Z], while
+    str.isalpha() is unicode-true for 'é'. The fast path previously
+    routed '<é' into the unterminated-start-tag branch and swallowed
+    the following real '<p>' tag as text."""
+    raw = "<p><p><p><p><p><é<p>".encode("utf-8")
+    fast, _ = parse_nodes(raw, fast=True)
+    ref, _ = parse_nodes(raw, fast=False)
+    assert [(n.tag, n.depth, n.text) for n in fast] == \
+           [(n.tag, n.depth, n.text) for n in ref]
+    assert fast[0].text == "<é"
