@@ -2453,3 +2453,221 @@ def ngram_repetition(spark, sf_dir):
         F.round(F.col("s.top_bigram_n") / F.col("s.n_bigrams").cast("double"),
                 4).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-construction tier: decontamination, dup clusters, URL gate
+# ---------------------------------------------------------------------------
+
+_DECON_N = 3  # test-scale n-gram; production decontamination uses 8-13
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(range(0, len(toks) - {_DECON_N - 1}),
+              i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + {_DECON_N}), ' ')), 1, 15))::BIGINT)))
+            AS g
+          FROM t WHERE len(toks) >= {_DECON_N}),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM g JOIN ev USING (g)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any n-gram
+    with the eval split (doc_id % 97 == 0 stands in for a benchmark
+    suite). The eval n-gram set is tiny by construction (benchmarks are
+    MBs against a 100-TB corpus), so it is broadcast and the probe is a
+    map-side hash join on each doc's (already distinct) shingle hashes;
+    the only shuffle is the final combinable per-doc count. n=3 keeps
+    the small-SF gate dense (171 contaminated docs at sf0.01);
+    production decontamination raises n to 8-13 — same plan, different
+    constant."""
+    from ocr_service_spark.functions.textstats import gram_hashes, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _DECON_N)
+    g = d.select("doc_id", F.explode(gram_hashes(F.col("toks"), _DECON_N)).alias("g"))
+    ev = g.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+_CLUSTER_SIM = 0.5
+
+
+def _dup_clusters_oracle() -> str:
+    return (
+        "WITH RECURSIVE pairs AS (\n" + _minhash_pairs_oracle() + "\n),\n"
+        f"sel AS (SELECT a_id, b_id FROM pairs WHERE est_sim >= {_CLUSTER_SIM}),\n"
+        "e AS (SELECT a_id AS u, b_id AS v FROM sel UNION SELECT b_id, a_id FROM sel),\n"
+        "reach(u, v) AS (SELECT u, v FROM e\n"
+        "  UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),\n"
+        "lab AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)\n"
+        "SELECT l.doc_id, l.cluster_id, c.cluster_size\n"
+        "FROM lab l JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) c\n"
+        "  USING (cluster_id)"
+    )
+
+
+@query("dup_clusters", oracle=None)
+def dup_clusters(spark, sf_dir):
+    """Duplicate-cluster assembly: connected components over the LSH
+    candidate graph (est_sim >= 0.5), Pregel-style min-label
+    propagation. Each sweep is one shuffle on doc_id and converges in
+    O(component diameter) sweeps — near-dup clusters are shallow (a dup
+    of a dup of X is still ~X), so 2-4 sweeps at web scale; the
+    convergence check aggregates to a single driver-side scalar (no
+    data collect). Labels are checkpointed per sweep to keep the plan
+    linear. At 10^12 docs the loop runs on the signature-derived edge
+    list only (tiny vs the corpus); large-star/small-star (Kiveris et
+    al.) is the drop-in upgrade if components ever get deep. Oracle:
+    DuckDB recursive-CTE transitive closure of the same edge set."""
+    from ocr_service_spark.operators.dedup import connected_components
+
+    edges = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_sim") >= _CLUSTER_SIM)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    labels = connected_components(edges, "a_id", "b_id")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"),
+                "cluster_size")
+    )
+
+
+ORACLE_SQL["dup_clusters"] = _dup_clusters_oracle()
+
+
+# The documents table has no URL column, so both engines synthesize the
+# same deterministic messy URL from (doc_id, source) and then normalize
+# it. Every step is a global regexp_replace with no backreferences (the
+# one replacement feature Java regex and RE2 spell differently); DuckDB
+# passes 'g' explicitly to match Spark's replace-all default.
+
+_URL_RAW_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' "
+    "|| 'WWW.' || source || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' "
+    "|| CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END "
+    "|| '/Docs/' || CAST(doc_id AS VARCHAR) "
+    "|| CASE WHEN doc_id % 7 = 0 THEN '/index.html/' WHEN doc_id % 7 = 1 THEN '/img.JPG' "
+    "        WHEN doc_id % 3 = 0 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_campaign=Spring' "
+    "        WHEN doc_id % 5 = 0 THEN '?utm_medium=email' ELSE '' END "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '#Section-' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END"
+)
+
+
+@query(
+    "url_filter",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM raw),
+    parts AS (SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        regexp_extract(u, '^[A-Za-z]+://([^/]+)', 1) AS hostport,
+        regexp_extract(u, '^[A-Za-z]+://[^/]+(/.*)', 1) AS rest
+      FROM s1),
+    hp AS (SELECT doc_id, scheme, rest,
+        regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', '', 'g'), '^www\\.', '', 'g') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+      FROM parts),
+    q1 AS (SELECT doc_id, scheme, host,
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END AS port_norm,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(rest, 'utm_[a-z]+=[^&#]*&', '', 'g'),
+              '[?&]utm_[a-z]+=[^&#]*$', '', 'g'),
+            '/+\\?', '?', 'g'),
+          '/+$', '', 'g') AS pq
+      FROM hp),
+    fin AS (SELECT doc_id, host,
+        scheme || '://' || host || port_norm || (CASE WHEN pq = '' THEN '/' ELSE pq END) AS url_norm,
+        CASE WHEN pq = '' THEN '/' ELSE pq END AS pq
+      FROM q1)
+    SELECT doc_id, url_norm, host,
+      (NOT regexp_matches(lower(pq), '\\.(jpg|jpeg|png|gif)($|\\?)')
+       AND NOT regexp_matches(host, '3\\.example\\.com$')) AS keep
+    FROM fin
+    """,
+)
+def url_filter(spark, sf_dir):
+    """URL normalization + filter policy, the front gate of a crawl
+    pipeline: lowercase scheme/host, strip fragment + default port +
+    www. prefix + utm_* tracking params + trailing slashes, then a
+    keep/drop verdict (media extensions case-insensitively, blocked
+    host suffix). Pure whole-stage-codegen column expressions — a
+    map-only stage with no shuffle at any scale. The raw URL is
+    synthesized deterministically from (doc_id, source) because the
+    test tables carry no URL column; both engines build the identical
+    string first, so the normalization itself is what the oracle
+    gates."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.lit("WWW."), F.col("source"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+         .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+         .when(F.col("doc_id") % 4 == 2, F.lit(":8080"))
+         .otherwise(F.lit("")),
+        F.lit("/Docs/"), sid,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/index.html/"))
+         .when(F.col("doc_id") % 7 == 1, F.lit("/img.JPG"))
+         .when(F.col("doc_id") % 3 == 0, F.lit("/"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), (F.col("doc_id") % 11).cast("string"),
+                        F.lit("&utm_campaign=Spring")))
+         .when(F.col("doc_id") % 5 == 0, F.lit("?utm_medium=email"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("#Section-"), (F.col("doc_id") % 13).cast("string")))
+         .otherwise(F.lit("")),
+    )
+    u = F.regexp_replace(raw, "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract(u, "^[A-Za-z]+://([^/]+)", 1)
+    rest = F.regexp_extract(u, "^[A-Za-z]+://[^/]+(/.*)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), ":[0-9]+$", ""), r"^www\.", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port_norm = F.when(
+        (port == "") | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    pq = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(rest, "utm_[a-z]+=[^&#]*&", ""),
+                r"[?&]utm_[a-z]+=[^&#]*$", ""),
+            r"/+\?", "?"),
+        "/+$", "")
+    pq = F.when(pq == "", F.lit("/")).otherwise(pq)
+    url_norm = F.concat(scheme, F.lit("://"), host, port_norm, pq)
+    keep = (
+        ~F.lower(pq).rlike(r"\.(jpg|jpeg|png|gif)($|\?)")
+        & ~host.rlike(r"3\.example\.com$")
+    )
+    return docs.select(
+        "doc_id", url_norm.alias("url_norm"), host.alias("host"),
+        keep.alias("keep"))
