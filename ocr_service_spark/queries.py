@@ -2533,6 +2533,19 @@ def dup_clusters(spark, sf_dir):
     list only (tiny vs the corpus); large-star/small-star (Kiveris et
     al.) is the drop-in upgrade if components ever get deep. Oracle:
     DuckDB recursive-CTE transitive closure of the same edge set."""
+    labels = _dup_cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"),
+                "cluster_size")
+    )
+
+
+def _dup_cluster_labels(spark, sf_dir) -> DataFrame:
+    """(id, label) component assignment over the LSH candidate graph —
+    the shared core of dup_clusters (which adds sizes) and corpus_build
+    (which only needs the non-canonical members)."""
     from ocr_service_spark.operators.dedup import connected_components
 
     edges = (
@@ -2541,13 +2554,7 @@ def dup_clusters(spark, sf_dir):
         .select("a_id", "b_id")
         .localCheckpoint()
     )
-    labels = connected_components(edges, "a_id", "b_id")
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"),
-                "cluster_size")
-    )
+    return connected_components(edges, "a_id", "b_id")
 
 
 ORACLE_SQL["dup_clusters"] = _dup_clusters_oracle()
@@ -2572,10 +2579,11 @@ _URL_RAW_SQL = (
 )
 
 
-@query(
-    "url_filter",
-    oracle=f"""
-    WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+# CTE chain ending in `fin(doc_id, host, url_norm, pq)` + the keep
+# predicate — shared by the url_filter oracle and the corpus_build
+# composition oracle.
+_URL_ORACLE_CTES = f"""
+    raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM raw),
     parts AS (SELECT doc_id,
         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -2601,25 +2609,18 @@ _URL_RAW_SQL = (
     fin AS (SELECT doc_id, host,
         scheme || '://' || host || port_norm || (CASE WHEN pq = '' THEN '/' ELSE pq END) AS url_norm,
         CASE WHEN pq = '' THEN '/' ELSE pq END AS pq
-      FROM q1)
-    SELECT doc_id, url_norm, host,
-      (NOT regexp_matches(lower(pq), '\\.(jpg|jpeg|png|gif)($|\\?)')
-       AND NOT regexp_matches(host, '3\\.example\\.com$')) AS keep
-    FROM fin
-    """,
+      FROM q1)"""
+
+_URL_KEEP_SQL = (
+    "(NOT regexp_matches(lower(pq), '\\.(jpg|jpeg|png|gif)($|\\?)')\n"
+    "       AND NOT regexp_matches(host, '3\\.example\\.com$'))"
 )
-def url_filter(spark, sf_dir):
-    """URL normalization + filter policy, the front gate of a crawl
-    pipeline: lowercase scheme/host, strip fragment + default port +
-    www. prefix + utm_* tracking params + trailing slashes, then a
-    keep/drop verdict (media extensions case-insensitively, blocked
-    host suffix). Pure whole-stage-codegen column expressions — a
-    map-only stage with no shuffle at any scale. The raw URL is
-    synthesized deterministically from (doc_id, source) because the
-    test tables carry no URL column; both engines build the identical
-    string first, so the normalization itself is what the oracle
-    gates."""
-    docs = _t(spark, sf_dir, "documents")
+
+
+def _with_url_gate(docs: DataFrame) -> DataFrame:
+    """Append url_norm/host/keep columns (see url_filter docstring) to
+    a documents-shaped DataFrame — one scan, pure codegen exprs, no
+    shuffle. Shared by url_filter and corpus_build."""
     sid = F.col("doc_id").cast("string")
     raw = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
@@ -2669,5 +2670,134 @@ def url_filter(spark, sf_dir):
         & ~host.rlike(r"3\.example\.com$")
     )
     return docs.select(
-        "doc_id", url_norm.alias("url_norm"), host.alias("host"),
+        "*", url_norm.alias("url_norm"), host.alias("host"),
         keep.alias("keep"))
+
+
+@query(
+    "url_filter",
+    oracle=f"""
+    WITH {_URL_ORACLE_CTES}
+    SELECT doc_id, url_norm, host,
+      {_URL_KEEP_SQL} AS keep
+    FROM fin
+    """,
+)
+def url_filter(spark, sf_dir):
+    """URL normalization + filter policy, the front gate of a crawl
+    pipeline: lowercase scheme/host, strip fragment + default port +
+    www. prefix + utm_* tracking params + trailing slashes, then a
+    keep/drop verdict (media extensions case-insensitively, blocked
+    host suffix). Pure whole-stage-codegen column expressions — a
+    map-only stage with no shuffle at any scale. The raw URL is
+    synthesized deterministically from (doc_id, source) because the
+    test tables carry no URL column; both engines build the identical
+    string first, so the normalization itself is what the oracle
+    gates."""
+    docs = _t(spark, sf_dir, "documents")
+    return _with_url_gate(docs).select("doc_id", "url_norm", "host", "keep")
+
+
+def _corpus_build_oracle() -> str:
+    """Composition oracle: chains the url-gate, dup-cluster closure,
+    decontamination and split CTEs (each individually gated by its own
+    query) into the full corpus-construction verdict."""
+    return f"""
+WITH RECURSIVE {_URL_ORACLE_CTES},
+ukeep AS (SELECT doc_id FROM fin WHERE {_URL_KEEP_SQL}),
+pairs AS (
+{_minhash_pairs_oracle()}
+),
+sel AS (SELECT a_id, b_id FROM pairs WHERE est_sim >= {_CLUSTER_SIM}),
+e AS (SELECT a_id AS u, b_id AS v FROM sel UNION SELECT b_id, a_id FROM sel),
+reach(u, v) AS (SELECT u, v FROM e
+  UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+noncanon AS (SELECT u AS doc_id FROM reach GROUP BY u
+             HAVING LEAST(u, MIN(v)) <> u),
+tt AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+dg AS (SELECT doc_id,
+        unnest(list_distinct(list_transform(range(0, len(toks) - {_DECON_N - 1}),
+          i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + {_DECON_N}), ' ')), 1, 15))::BIGINT)))
+        AS g
+      FROM tt WHERE len(toks) >= {_DECON_N}),
+dev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN dev USING (g)
+           WHERE dg.doc_id % 97 <> 0),
+h AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0 THEN
+          ROUND(len(list_filter(toks, w -> regexp_matches(w, '^[A-Za-zА-Яа-яЁё]+$')))
+                / CAST(len(toks) AS DOUBLE), 4) ELSE 0 END AS alpha_ratio,
+        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM tt)
+SELECT h.doc_id, h.lang, h.n_tokens,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM h
+JOIN ukeep USING (doc_id)
+WHERE h.n_tokens >= 10 AND h.alpha_ratio >= 0.8
+  AND h.doc_id % 97 <> 0
+  AND bucket < (CASE WHEN h.lang = 'en' THEN 50 ELSE 100 END)
+  AND h.doc_id NOT IN (SELECT doc_id FROM noncanon)
+  AND h.doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+@query("corpus_build", oracle=None)
+def corpus_build(spark, sf_dir):
+    """Flagship training-corpus construction: the full pipeline a
+    100-TB pretraining-data build runs, composed from the individually
+    oracle-gated stages — URL gate (keep flag, inline on the scan) →
+    near-dup canonical keep-one (drop every cluster member except the
+    min-id canonical, via dup_clusters/connected_components) →
+    benchmark decontamination (drop the eval split and every doc
+    sharing an eval n-gram) → quality gate (≥10 tokens, ≥80%
+    alphabetic) → deterministic 80/10/10 split with per-language
+    stratified sampling.
+
+    Scale shape: the survivors path is ONE scan with every per-doc
+    flag (url keep, quality, split bucket) computed inline as codegen
+    exprs — no self-joins of the corpus against its own derived
+    columns. The only joins are two LEFT ANTI probes against tiny id
+    sets (non-canonical dup members, contaminated ids), both
+    broadcast: at 10^12 docs those sets are the near-dup tail and the
+    benchmark overlap, orders of magnitude smaller than the corpus."""
+    from ocr_service_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    noncanon = (
+        _dup_cluster_labels(spark, sf_dir)
+        .filter(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id")))
+    contam = decontaminate(spark, sf_dir).select("doc_id")
+
+    b = (_with_url_gate(docs).filter(F.col("keep"))
+         .select("doc_id", "lang", tokens(F.col("text")).alias("toks")))
+    n_words = F.size(F.col("toks"))
+    alpha = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(F.col("toks"),
+                            lambda w: w.rlike("^[A-Za-zА-Яа-яЁё]+$")))
+            / n_words.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint"),
+        F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(100))
+    return (
+        b.filter((n_words >= 10) & (alpha >= 0.8)
+                 & (F.col("doc_id") % 97 != 0) & (bucket < rate))
+        .join(F.broadcast(noncanon), "doc_id", "left_anti")
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", n_words.alias("n_tokens"),
+            F.when(bucket < 80, F.lit("train"))
+             .when(bucket < 90, F.lit("valid"))
+             .otherwise(F.lit("test")).alias("split"))
+    )
+
+
+ORACLE_SQL["corpus_build"] = _corpus_build_oracle()

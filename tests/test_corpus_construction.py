@@ -94,3 +94,25 @@ def test_dup_clusters_invariants(spark):
         assert cid == min(m.doc_id for m in members), "label = min member id"
         assert all(m.cluster_size == len(members) for m in members)
         assert len(members) >= 2, "no singleton clusters (edges only)"
+
+
+def test_corpus_build_composition_invariants(spark):
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["corpus_build"](spark, sf).collect()
+    assert out, "pipeline keeps a non-trivial corpus at sf0.01"
+    ids = {r.doc_id for r in out}
+
+    kept_urls = {r.doc_id for r in QUERIES["url_filter"](spark, sf).collect()
+                 if r.keep}
+    assert ids <= kept_urls, "every survivor passed the URL gate"
+
+    noncanon = {r.doc_id for r in QUERIES["dup_clusters"](spark, sf).collect()
+                if r.doc_id != r.cluster_id}
+    assert not ids & noncanon, "non-canonical dup members dropped"
+
+    contaminated = {r.doc_id for r in QUERIES["decontaminate"](spark, sf).collect()}
+    assert not ids & contaminated, "contaminated docs dropped"
+    assert not {i for i in ids if i % 97 == 0}, "eval split excluded"
+
+    splits = {r.split for r in out}
+    assert splits <= {"train", "valid", "test"}

@@ -68,3 +68,27 @@ def test_no_per_row_python_anywhere_in_headliners(spark):
     for name in ("extract_roundtrip", "minhash_signatures", "simhash",
                  "lang_profile", "field_validation", "chunk_dedup"):
         assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_url_filter_is_pure_map(spark):
+    plan = _plan(spark, "url_filter")
+    assert "Exchange" not in plan, "URL normalization must not shuffle"
+    assert "EvalPython" not in plan, "URL normalization must stay JVM-side"
+
+
+def test_decontaminate_probes_via_broadcast(spark):
+    # the eval n-gram set is broadcast; the corpus side must never be
+    # shuffled for the probe join itself
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_build_anti_joins_broadcast_no_cartesian(spark):
+    # survivors path: one scan + two broadcast LEFT ANTI probes against
+    # tiny id sets; a SortMergeJoin or cartesian here means the corpus
+    # got shuffled against its own derived columns
+    plan = _plan(spark, "corpus_build")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
