@@ -46,6 +46,9 @@ HEADLINE = [
     "embedding_ivf_ann",
     "token_entropy",
     "ngram_repetition",
+    # the composed corpus-construction flagship (r3): URL gate →
+    # canonical keep-one → decontaminate → quality → split
+    "corpus_build",
 ]
 
 
