@@ -1107,6 +1107,14 @@ def minhash_lsh_pairs(spark, sf_dir):
     sigs = d.select(
         "doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)]
     ).localCheckpoint(eager=False)
+    return _lsh_candidate_pairs(sigs)
+
+
+def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band self-join over a (doc_id, mh0..mh7) signature table →
+    (a_id, b_id, n_shared_bands, est_sim). Shared by minhash_lsh_pairs
+    and corpus_build (which derives sigs from its own one-pass shingle
+    projection)."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -2761,18 +2769,56 @@ def corpus_build(spark, sf_dir):
     columns. The only joins are two LEFT ANTI probes against tiny id
     sets (non-canonical dup members, contaminated ids), both
     broadcast: at 10^12 docs those sets are the near-dup tail and the
-    benchmark overlap, orders of magnitude smaller than the corpus."""
-    from ocr_service_spark.functions.textstats import tokens
+    benchmark overlap, orders of magnitude smaller than the corpus.
+    The expensive per-doc work — tokenize + 3-gram shingle hash — runs
+    ONCE: a checkpointed projection feeds the LSH signatures, the
+    decontamination probe (same shingle hashes) and the quality/split
+    gate, instead of each branch re-scanning and re-tokenizing (at
+    production scale this projection is the written-once shingle
+    table)."""
+    from ocr_service_spark.functions.textstats import (
+        gram_hashes,
+        minhash_fold,
+        tokens,
+    )
+    from ocr_service_spark.operators.dedup import connected_components
+
+    # the shared projection hands the SAME 3-gram hashes to LSH and
+    # decontamination — only valid while the decon n equals the
+    # (fixed) LSH shingle width
+    assert _DECON_N == 3
 
     docs = _t(spark, sf_dir, "documents")
-    noncanon = (
-        _dup_cluster_labels(spark, sf_dir)
-        .filter(F.col("id") != F.col("label"))
-        .select(F.col("id").alias("doc_id")))
-    contam = decontaminate(spark, sf_dir).select("doc_id")
+    proj = (
+        _with_url_gate(docs)
+        .select("doc_id", "lang", "keep", tokens(F.col("text")).alias("toks"))
+        .withColumn(
+            "g3",
+            F.when(F.size("toks") >= 3, gram_hashes(F.col("toks"), 3))
+             .otherwise(F.array().cast("array<bigint>")))
+        .localCheckpoint(eager=False)
+    )
+    sh = proj.filter(F.size("toks") >= 3)
 
-    b = (_with_url_gate(docs).filter(F.col("keep"))
-         .select("doc_id", "lang", tokens(F.col("text")).alias("toks")))
+    sig = minhash_fold(F.col("g3"))
+    sigs = sh.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
+    edges = (
+        _lsh_candidate_pairs(sigs)
+        .filter(F.col("est_sim") >= _CLUSTER_SIM)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    labels = connected_components(edges, "a_id", "b_id")
+    noncanon = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id"))
+
+    g = sh.select("doc_id", F.explode("g3").alias("g"))
+    ev = g.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contam = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "g").select("doc_id").distinct())
+
+    b = proj.filter(F.col("keep")).select("doc_id", "lang", "toks")
     n_words = F.size(F.col("toks"))
     alpha = F.when(
         n_words > 0,
