@@ -116,3 +116,19 @@ def test_corpus_build_composition_invariants(spark):
 
     splits = {r.split for r in out}
     assert splits <= {"train", "valid", "test"}
+
+
+def test_connected_components_partition_invariance(spark):
+    # labels must not depend on physical layout (north rule: results
+    # invariant across cluster sizes)
+    rows = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (21, 22)]
+    e3 = spark.createDataFrame(rows, "a long, b long").repartition(3)
+    e11 = spark.createDataFrame(rows, "a long, b long").repartition(11)
+    out3 = sorted((r.id, r.label) for r in connected_components(e3, "a", "b").collect())
+    out11 = sorted((r.id, r.label) for r in connected_components(e11, "a", "b").collect())
+    assert out3 == out11
+
+
+def test_connected_components_empty_edges(spark):
+    e = spark.createDataFrame([], "a long, b long")
+    assert connected_components(e, "a", "b").count() == 0
