@@ -2847,3 +2847,83 @@ def corpus_build(spark, sf_dir):
 
 
 ORACLE_SQL["corpus_build"] = _corpus_build_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators Spark lacks natively: as-of, range)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 0),
+         r AS (SELECT user_id, ts, event_id AS ref_id, value AS ref_value
+               FROM events WHERE event_id % 2 = 1)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           l.value, r.ref_id, r.ref_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each even-id event
+    picks up the latest odd-id event at or before its timestamp for
+    the same user — the classic trades⨝quotes shape. Implemented as
+    union + ordered-window last-non-null (one shuffle on user_id, no
+    Python); the oracle is DuckDB's native ASOF LEFT JOIN, a fully
+    independent implementation of the same semantics. 154 of 5000
+    left rows at sf0.01 have no prior quote and keep NULL refs."""
+    from ocr_service_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts",
+        F.col("event_id").alias("ref_id"), F.col("value").alias("ref_value"))
+    out = asof_join(left, right, on="ts", by=("user_id",))
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value", "ref_id", "ref_value")
+
+
+_RANGE_TOL_US = 30 * 60 * 1_000_000  # ±30 min
+
+
+@query(
+    "range_join",
+    oracle="""
+    WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+         clk AS (SELECT ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, COUNT(c.ts) AS n_nearby_clicks
+    FROM err e LEFT JOIN clk c
+      ON c.ts BETWEEN e.ts - INTERVAL 30 MINUTE AND e.ts + INTERVAL 30 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Tolerance/range join (operators/temporal.bucketed_range_join):
+    clicks within ±30 min of each error event, across ALL users — a
+    non-equi time predicate with no equi key at all, the worst case
+    for a join planner. The bucket trick (probe the 2-3
+    tolerance-width buckets the window touches, right side maps to
+    one bucket, refine exactly) replaces the cross product with an
+    equi-join; the oracle runs the plain inequality join. Zero-match
+    errors are restored by a left join against the (tiny,
+    broadcastable) per-error counts."""
+    from ocr_service_spark.operators.temporal import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"))
+    pairs = bucketed_range_join(err, clk, _RANGE_TOL_US, l_on="ts", r_on="c_ts")
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n"))
+    return (
+        err.join(F.broadcast(counts), "event_id", "left")
+        .select("event_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                 .alias("n_nearby_clicks"))
+    )
