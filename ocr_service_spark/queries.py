@@ -2927,3 +2927,129 @@ def range_join_events(spark, sf_dir):
                 F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
                  .alias("n_nearby_clicks"))
     )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group — the monitoring/SLA
+    staple. Spark's `percentile` and DuckDB's `quantile_cont` both
+    compute the exact linear-interpolated quantile, so the gate is
+    value-level (rounded 6dp against interpolation-order float
+    noise). Scale note: EXACT percentile shuffles each group's values
+    to one reducer (sorted agg) — correct but hot-key-prone; at
+    10^12 rows swap in approx_percentile (t-digest, combinable,
+    bounded memory), which this query deliberately does not gate
+    because sketches are not cross-engine reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(*[
+        F.round(F.percentile("value", F.lit(q)), 6).alias(f"p{int(q*100)}")
+        for q in (0.5, 0.95, 0.99)
+    ])
+
+
+@query(
+    "time_rollup",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL') AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type,
+                    date_trunc('day', ts),
+                    date_trunc('hour', ts))
+    """,
+)
+def time_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: hourly, daily,
+    per-type and grand totals in ONE pass via ROLLUP grouping sets —
+    the continuous-aggregate shape. All four granularities share one
+    shuffle with map-side partial aggregation (decimal-cast sums keep
+    results independent of partial-agg order); NULL group levels are
+    sentinel-coalesced identically on both engines so the hash
+    compares."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.rollup(F.col("event_type"), day.alias("d"), hour.alias("h"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+              .alias("sum_value"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.date_format("h", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")).alias("hour"),
+            "n", "sum_value")
+    )
+
+
+_KMV_K = 64
+# (k-1) * 2^60 as one float literal, so both engines perform the same
+# single IEEE division — estimate = (k-1) / (h_k / 2^60)
+_KMV_NUM = float((_KMV_K - 1) * (1 << 60))
+
+
+@query(
+    "kmv_distinct",
+    oracle=f"""
+    WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    d AS (SELECT DISTINCT source,
+            ('0x' || substr(unnest(list_transform(range(0, len(toks) - 2),
+              i -> md5(array_to_string(list_slice(toks, i + 1, i + 3), ' ')))), 1, 15))::BIGINT AS h
+          FROM t WHERE len(toks) >= 3),
+    r AS (SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM d),
+    ex AS (SELECT source, COUNT(*) AS exact_distinct FROM d GROUP BY source)
+    SELECT r.source,
+           ROUND({_KMV_NUM!r} / r.h, 4) AS est_distinct,
+           ex.exact_distinct
+    FROM r JOIN ex USING (source)
+    WHERE r.rn = {_KMV_K}
+    """,
+)
+def kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch, per source: keep
+    the k=64 smallest 60-bit 3-gram shingle hashes; estimate the
+    distinct-shingle count as (k-1)/R with R the k-th smallest hash
+    normalized to (0,1] (the corpus vocabulary is 31 tokens — shingles
+    are the cardinality worth sketching). Unlike HLL
+    (approx_count_distinct), KMV over a PORTABLE hash is
+    bit-reproducible across engines, so the sketch itself is
+    value-gated against DuckDB — and the exact count rides along to
+    show the error. Scale note: KMV merges are associative
+    (union → keep k smallest), so the production form is a partial
+    k-min per partition then one tiny merge; this gate form takes the
+    k-th order statistic of the distinct hash set via a window, one
+    shuffle. For ungated production use Spark's native
+    approx_count_distinct (HLL) is the drop-in."""
+    from ocr_service_spark.functions.textstats import gram_hashes, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = (docs.select("source", tokens(F.col("text")).alias("toks"))
+         .filter(F.size("toks") >= 3)
+         .select("source", F.explode(gram_hashes(F.col("toks"), 3)).alias("h"))
+         .distinct())
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("h")
+    kth = (d.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == _KMV_K)
+           .select("source", "h"))
+    ex = d.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    return (
+        kth.join(ex, "source")
+        .select("source",
+                F.round(F.lit(_KMV_NUM) / F.col("h"), 4).alias("est_distinct"),
+                "exact_distinct")
+    )
