@@ -1110,12 +1110,10 @@ def minhash_lsh_pairs(spark, sf_dir):
     return _lsh_candidate_pairs(sigs)
 
 
-def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band self-join over a (doc_id, mh0..mh7) signature table →
-    (a_id, b_id, n_shared_bands, est_sim). Shared by minhash_lsh_pairs
-    and corpus_build (which derives sigs from its own one-pass shingle
-    projection)."""
-    bands = sigs.select(
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """Explode a (doc_id, mh0..mh7) signature table into its 4 LSH
+    band keys: (doc_id, band, key) with key = 'mh{2b}_mh{2b+1}'."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -1127,6 +1125,14 @@ def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band self-join over a (doc_id, mh0..mh7) signature table →
+    (a_id, b_id, n_shared_bands, est_sim). Shared by minhash_lsh_pairs
+    and corpus_build (which derives sigs from its own one-pass shingle
+    projection)."""
+    bands = _band_keys(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
@@ -3053,3 +3059,83 @@ def kmv_distinct(spark, sf_dir):
                 F.round(F.lit(_KMV_NUM) / F.col("h"), 4).alias("est_distinct"),
                 "exact_distinct")
     )
+
+
+_BATCH_PRED = "doc_id % 5 = 4"  # deterministic 20% "new crawl batch"
+
+
+@query(
+    "incremental_dedup",
+    oracle=None,  # assembled below from the shared shingle/minhash SQL
+)
+def incremental_dedup(spark, sf_dir):
+    """Incremental cross-batch near-dedup: admit a new crawl batch
+    (20% of `documents` by `doc_id % 5 = 4`) only where it does NOT
+    LSH-collide with the already-accepted corpus (the other 80%).
+    This is the production shape at 10^12 docs — the corpus's MinHash
+    band index is computed ONCE and persisted; each new batch computes
+    signatures only for itself and probes the index. Plan: one scan
+    projects tokens→shingles→signatures per row (map-only), the batch
+    side (small by construction) is BROADCAST into the corpus band
+    index, so the probe adds no shuffle over the corpus; the only
+    exchange is the tiny per-batch-doc match count. Docs with <3
+    tokens carry no signature and are admitted trivially."""
+    from ocr_service_spark.functions.textstats import (
+        gram_hashes,
+        minhash_fold,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 3)
+    sig = minhash_fold(gram_hashes(F.col("toks"), 3))
+    sigs = d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(8)])
+    bands = _band_keys(sigs)
+    is_batch = F.col("doc_id") % 5 == 4
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = bands.filter(~is_batch)
+    hits = (
+        corpus_bands.alias("c")
+        .join(F.broadcast(batch_bands.alias("b")),
+              (F.col("c.band") == F.col("b.band"))
+              & (F.col("c.key") == F.col("b.key")))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("c.doc_id")).alias("n"))
+    )
+    batch = docs.filter(is_batch).select("doc_id")
+    return (
+        batch.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+             .alias("n_corpus_dups"),
+            (F.coalesce(F.col("n"), F.lit(0)) == 0).alias("admitted"),
+        )
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, cast(mh{2*bi} as varchar) || '_' || "
+        f"cast(mh{2*bi+1} as varchar) AS key FROM sigs"
+        for bi in range(4)
+    )
+    return (
+        _shingle_hash_sql()
+        + "    , sigs AS (" + _minhash_select() + "),\n"
+        + f"    bands AS ({bands}),\n"
+        + f"    hits AS (SELECT b.doc_id, COUNT(DISTINCT c.doc_id) AS n\n"
+        + f"      FROM (SELECT * FROM bands WHERE {_BATCH_PRED}) b\n"
+        + f"      JOIN (SELECT * FROM bands WHERE NOT ({_BATCH_PRED})) c\n"
+        + "       ON b.band = c.band AND b.key = c.key\n"
+        + "      GROUP BY b.doc_id)\n"
+        + "    SELECT d.doc_id,\n"
+        + "           CAST(coalesce(h.n, 0) AS BIGINT) AS n_corpus_dups,\n"
+        + "           coalesce(h.n, 0) = 0 AS admitted\n"
+        + "    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id\n"
+        + f"    WHERE d.{_BATCH_PRED}"
+    )
+
+
+ORACLE_SQL["incremental_dedup"] = _incremental_dedup_oracle()

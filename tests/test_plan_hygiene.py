@@ -92,3 +92,13 @@ def test_corpus_build_anti_joins_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_probe_is_broadcast(spark):
+    # the new-batch band index is broadcast into the corpus band scan,
+    # so the probe join adds no exchange over the corpus side; an SMJ
+    # here means the whole corpus got sorted for a 20%-batch probe
+    plan = _plan(spark, "incremental_dedup")
+    assert plan.count("BroadcastHashJoin") >= 2  # probe + left-join of hits
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
