@@ -35,6 +35,7 @@ __all__ = [
     "committed_buckets",
     "run_with_lineage",
     "verify_lineage",
+    "compact_buckets",
 ]
 
 
@@ -166,3 +167,113 @@ def verify_lineage(spark: SparkSession, out_dir: str, key: str = "url") -> DataF
              & (F.col("checksum") == F.col("actual_checksum"))).alias("ok"),
         )
     )
+
+
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def compact_buckets(
+    spark: SparkSession,
+    out_dir: str,
+    key: str = "url",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, tuple[int, int]]:
+    """Small-file compaction for the bucket-parquet sink — the Iceberg
+    `rewrite_data_files` maintenance action, emulated with the same
+    contract. A long-running ingest (many `run_with_lineage` appends,
+    streaming micro-batches) leaves each bucket littered with files far
+    below the scan-efficient size; at 10^12 rows the resulting task
+    explosion and NameNode/manifest pressure dominate read cost.
+
+    Per bucket: target file count = max(1, ceil(bucket_bytes /
+    target_file_bytes)). The whole rewrite is ONE Spark job — rows are
+    hash-distributed into exactly that many partitions per bucket via
+    repartition on (bucket, slice) where slice = portable key-hash mod
+    the bucket's target count — then swapped in per bucket with an
+    atomic directory rename (local/HDFS; on Iceberg this is the
+    snapshot commit and readers never see a half-compacted bucket).
+    Data is NEVER changed — only file layout — so every lineage row
+    (n_rows, checksum) stays valid; callers re-verify with
+    `verify_lineage`. Crash-safe: a crash before a bucket's swap
+    leaves the old files in place, and the tmp tree is cleaned on the
+    next invocation; re-running compaction is idempotent.
+
+    Returns {bucket: (n_files_before, n_files_after)}.
+    """
+    import math
+
+    data_dir = f"{out_dir}/data"
+    tmp_dir = f"{out_dir}/.compact_tmp"
+    fs, jvm = _fs(spark, data_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(Path(tmp_dir)):  # leftovers of a crashed compaction
+        fs.delete(Path(tmp_dir), True)
+    if not fs.exists(Path(data_dir)):
+        return {}
+
+    # survey current layout: per-bucket file count + bytes
+    sizes: dict[int, tuple[int, int]] = {}
+    for st in fs.listStatus(Path(data_dir)):
+        name = st.getPath().getName()
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        n_files, n_bytes = 0, 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().startswith(("part-", "part=")) or \
+               f.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                n_bytes += f.getLen()
+        sizes[b] = (n_files, n_bytes)
+
+    targets = {
+        b: max(1, math.ceil(n_bytes / target_file_bytes))
+        for b, (n_files, n_bytes) in sizes.items()
+    }
+    todo = [b for b in sorted(targets) if sizes[b][0] > targets[b]]
+    if not todo:
+        return {b: (n, n) for b, (n, _) in sizes.items()}
+
+    # one job: read only the buckets being rewritten, slice each into
+    # its target file count, write the compacted tree under tmp
+    df = (
+        spark.read.parquet(data_dir)
+        .filter(F.col("bucket").isin([int(b) for b in todo]))
+    )
+    slice_map = F.create_map(
+        *[x for b in todo for x in (F.lit(b), F.lit(targets[b]))])
+    sliced = df.withColumn(
+        "_slice",
+        F.pmod(F.xxhash64(F.col(key)), slice_map[F.col("bucket")]),
+    )
+    n_parts = max(sum(targets[b] for b in todo), 1)
+    (
+        sliced.repartition(n_parts, "bucket", "_slice")
+        .drop("_slice")
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp_dir)
+    )
+
+    # per-bucket atomic swap: old dir out, compacted dir in
+    for b in todo:
+        old = Path(f"{data_dir}/bucket={b}")
+        new = Path(f"{tmp_dir}/bucket={b}")
+        trash = Path(f"{tmp_dir}/.old-bucket={b}")
+        fs.rename(old, trash)
+        fs.rename(new, old)
+    fs.delete(Path(tmp_dir), True)
+
+    result = {}
+    for b, (n_before, _) in sizes.items():
+        if b in todo:
+            n_after = sum(
+                1 for f in fs.listStatus(Path(f"{data_dir}/bucket={b}"))
+                if f.getPath().getName().endswith(".parquet")
+                or f.getPath().getName().startswith("part-")
+            )
+            result[b] = (n_before, n_after)
+        else:
+            result[b] = (n_before, n_before)
+    return result

@@ -3139,3 +3139,66 @@ def _incremental_dedup_oracle() -> str:
 
 
 ORACLE_SQL["incremental_dedup"] = _incremental_dedup_oracle()
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type
+    FROM events WHERE user_id < 50
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup via `dropDuplicatesWithinWatermark`,
+    hard-gated against the batch DISTINCT oracle: the event feed is
+    dropped twice (the second copy a re-delivered batch with event
+    time shifted +60 s — the at-least-once redelivery every real feed
+    has), streamed file-by-file, and deduplicated on event_id within
+    a 30-day watermark. After the availableNow drain the emitted rows
+    are EXACTLY one per event_id — the batch distinct. Scale shape:
+    state is keyed by event_id and bounded by the watermark horizon
+    (entries evict when event time passes), so memory is
+    O(keys-per-horizon), not O(stream); this is the streaming twin of
+    `exact_dedup` and the ingest-side guard in front of the corpus
+    pipeline. The projected payload (user_id, event_type) is identical
+    across copies, so which copy wins is immaterial to the output."""
+    import os
+    import tempfile
+    import time as _time
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    base = tempfile.mkdtemp(prefix="sdedup_", dir="/root/repo/.tmp")
+    drop, out, ck = f"{base}/drop", f"{base}/out", f"{base}/ck"
+    os.makedirs(drop)
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"))
+    e.coalesce(1).write.mode("overwrite").json(f"{drop}/a")
+    # redelivered copy: same payload, event time nudged forward
+    e.withColumn(
+        "ts",
+        F.date_format(
+            F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS") +
+            F.expr("INTERVAL 60 SECONDS"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+    ).coalesce(1).write.mode("overwrite").json(f"{drop}/b")
+    now = _time.time()
+    for i, name in enumerate(("a", "b")):
+        d = f"{drop}/{name}"
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (now + i, now + i))
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    ).option("maxFilesPerTrigger", "1").json(f"{drop}/*")
+    q = (
+        stream.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
