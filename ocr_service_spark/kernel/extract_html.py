@@ -123,7 +123,9 @@ class _FlatDomParser(HTMLParser):
     def _close_block(self) -> None:
         tag, depth, texts, link_chars, boiler = self._block_stack.pop()
         raw = "".join(texts)
-        norm = _WS_RE.sub(" ", raw).strip()
+        # equivalent to _WS_RE.sub(" ", raw).strip() — str.split() and
+        # \s+ agree on the Unicode whitespace set — at ~3x the speed
+        norm = " ".join(raw.split())
         if not norm:
             return
         self.nodes.append(
@@ -171,14 +173,17 @@ class _FlatDomParser(HTMLParser):
         if f & _F_LINK and self._link_depth > 0:
             self._link_depth -= 1
         if f & _F_BLOCK and self._block_stack:
-            # close innermost matching block (tolerates bad nesting)
-            for i in range(len(self._block_stack) - 1, -1, -1):
-                if self._block_stack[i][0] == tag:
-                    # close any blocks opened inside it first
-                    while len(self._block_stack) > i + 1:
+            if self._block_stack[-1][0] == tag:  # well-nested fast path
+                self._close_block()
+            else:
+                # close innermost matching block (tolerates bad nesting)
+                for i in range(len(self._block_stack) - 1, -1, -1):
+                    if self._block_stack[i][0] == tag:
+                        # close any blocks opened inside it first
+                        while len(self._block_stack) > i + 1:
+                            self._close_block()
                         self._close_block()
-                    self._close_block()
-                    break
+                        break
         self._depth = max(0, self._depth - 1)
 
     def handle_data(self, data: str) -> None:
@@ -189,7 +194,11 @@ class _FlatDomParser(HTMLParser):
         top = self._block_stack[-1]
         top[2].append(data)
         if self._link_depth > 0:
-            top[3] += len(_WS_RE.sub(" ", data).strip())
+            # normalized length without building the string:
+            # len(" ".join(ws)) = sum(word lens) + (n_words - 1)
+            ws = data.split()
+            if ws:
+                top[3] += sum(map(len, ws)) + len(ws) - 1
 
     def close_blocks(self) -> None:  # flush unclosed blocks (truncated docs)
         while self._block_stack:
@@ -230,6 +239,9 @@ _RAW_CLOSE = {
     "script": re.compile(r"</script[^>]*>", re.I | re.S),
     "style": re.compile(r"</style[^>]*>", re.I | re.S),
 }
+
+
+_NO_ATTRS: list = []  # extractor handlers never read or mutate attrs
 
 
 def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
@@ -286,7 +298,7 @@ def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
             if end_slash:
                 h_end(tag)
             else:
-                h_start(tag, [])
+                h_start(tag, _NO_ATTRS)
                 if self_close:
                     h_end(tag)
                 elif tag in _RAW_CLOSE:

@@ -3202,3 +3202,116 @@ def streaming_dedup(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'purchase' THEN 3 ELSE 0 END
+                  ORDER BY ts, event_id) AS codes
+      FROM events WHERE event_id % 97 < 8 GROUP BY user_id
+    ), st AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(0, codes),
+               (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
+                                WHEN acc = 1 AND x = 2 THEN 2
+                                WHEN acc = 2 AND x = 3 THEN 3
+                                ELSE acc END) AS stage
+      FROM seq
+    )
+    SELECT stage, COUNT(*) AS n_users FROM st GROUP BY stage
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase), computed
+    EXACTLY — not the first-touch approximation — with a single
+    higher-order fold per user: events are collected ordered by
+    (ts, event_id), mapped to stage codes, and folded left-to-right
+    with the state machine `stage advances only when the next required
+    type appears later in time`. One shuffle (groupBy user); the fold
+    runs JVM-side via F.aggregate — no Python. The DuckDB oracle runs
+    the identical fold via list_reduce, so the state machine itself is
+    value-gated; the deterministic event sample (event_id % 97 < 8)
+    keeps the synthetic feed sparse enough that every funnel stage is
+    populated — the gate discriminates. Scale: per-user sequences are
+    bounded by the session
+    horizon in practice; for unbounded histories the same fold runs
+    incrementally as a streaming stateful op (sessionize_stream's
+    machinery)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 < 8)
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", code.alias("code")).alias("e"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.transform("es", lambda e: e["code"]),
+                F.lit(0),
+                lambda acc, x: (
+                    F.when((acc == 0) & (x == 1), 1)
+                    .when((acc == 1) & (x == 2), 2)
+                    .when((acc == 2) & (x == 3), 3)
+                    .otherwise(acc)
+                ),
+            ).alias("stage"),
+        )
+    )
+    return seq.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events WHERE event_id % 101 < 2 GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS offset_weeks
+      FROM (SELECT * FROM events WHERE event_id % 101 < 2) e
+      JOIN first f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(offset_weeks AS BIGINT) AS offset_weeks,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: users are assigned to the
+    week of their first event; each (cohort_week, weeks-since) cell
+    counts users active in that offset week. Two shuffles — the
+    per-user min (map-side combinable) and the final cell count; the
+    cohort table re-joins events via broadcast (users ≪ events).
+    Week truncation is Monday-anchored on both engines; the offset is
+    an exact day-difference of week-aligned dates divided by 7, so no
+    timezone/rounding skew can split a cell."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 101 < 2)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (F.datediff(F.date_trunc("week", F.col("ts")),
+                        F.col("cohort_week")) / 7)
+            .cast("bigint").alias("offset_weeks"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_weeks",
+    ).agg(F.count("*").alias("n_users"))
