@@ -14,10 +14,12 @@ processor.py:373-374.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["text_quality", "overall_quality", "needs_review"]
+__all__ = ["text_quality", "overall_quality", "needs_review", "compression_ratio"]
 
 
 def _clamp01(c: Column) -> Column:
@@ -67,3 +69,32 @@ def needs_review(quality: Column, n_issues: Column,
         )
         return base | any_invalid
     return base
+
+
+def compression_ratio(text: Column) -> Column:
+    """Deflate-compressibility quality signal (CCNet/RefinedWeb-style):
+    highly repetitive boilerplate compresses far below natural prose,
+    so `compressed_bytes / utf8_bytes` separates template spam from
+    content. zlib level 6 on UTF-8 bytes; NULL for empty/NULL text.
+    Arrow-batched pandas UDF (no SQL twin exists for deflate — the
+    driver records this query rows-only; tests pin exact values
+    against direct zlib). Scale: pure map, no state, ~100 MB/s/core —
+    at 10^12 docs it rides the same Arrow stage as extraction."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) / len(b)
+        return s.map(one)
+
+    # nondeterministic pin: stops Catalyst from duplicating the Arrow
+    # node when a filter references the derived column (see BENCH.md)
+    return _ratio.asNondeterministic()(text)

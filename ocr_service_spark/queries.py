@@ -3315,3 +3315,24 @@ def cohort_retention(spark, sf_dir):
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "offset_weeks",
     ).agg(F.count("*").alias("n_users"))
+
+
+@query("compression_quality", oracle=None)
+def compression_quality(spark, sf_dir):
+    """Deflate-compressibility quality gate over documents: ratio =
+    zlib(utf8)/utf8 bytes per doc, plus the repetitive-template flag
+    (ratio < 0.45). No SQL engine exposes deflate, so this is a
+    rows-only driver check; tests/test_operators_tiers pins exact
+    values against direct zlib for every sampled doc. Plan: ONE
+    Arrow-batched map stage (nondeterministic-pinned so the flag
+    filter cannot duplicate it), no shuffle, no collect."""
+    from ocr_service_spark.operators.quality import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    r = F.round(compression_ratio(F.col("text")), 4)
+    return docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("n_chars"),
+        r.alias("compression_ratio"),
+        (r < 0.45).alias("is_repetitive"),
+    )

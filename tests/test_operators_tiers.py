@@ -203,3 +203,31 @@ def test_minhash_row_sigs_equals_agg_form(spark):
             *minhash_expr(F.col("x"))).collect():
         agg_form[r.doc_id] = tuple(r)[1:]
     assert row_form == agg_form
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    import zlib
+
+    from ocr_service_spark.queries import QUERIES
+
+    rows = (
+        QUERIES["compression_quality"](spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    texts = dict(con.execute(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall())
+    assert len(rows) == len(texts) > 0
+    n_rep = 0
+    for r in rows:
+        b = texts[r.doc_id].encode("utf-8")
+        exp = round(len(zlib.compress(b, 6)) / len(b), 4) if b else None
+        assert r.compression_ratio == exp, r.doc_id
+        assert r.is_repetitive == (exp is not None and exp < 0.45)
+        n_rep += bool(r.is_repetitive)
+    # the synthetic corpus is template-heavy: the flag must fire for
+    # some but not all docs, or the threshold tells us nothing
+    assert 0 < n_rep < len(rows)
