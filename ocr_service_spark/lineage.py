@@ -209,7 +209,18 @@ def compact_buckets(
     tmp_dir = f"{out_dir}/.compact_tmp"
     fs, jvm = _fs(spark, data_dir)
     Path = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(Path(tmp_dir)):  # leftovers of a crashed compaction
+    if fs.exists(Path(tmp_dir)):
+        # leftovers of a crashed compaction. A crash between the two
+        # swap renames below leaves a bucket's ONLY copy parked at
+        # .old-bucket=B — restore it before sweeping, or the sweep
+        # would destroy committed data.
+        for st in fs.listStatus(Path(tmp_dir)):
+            name = st.getPath().getName()
+            if name.startswith(".old-bucket="):
+                b = name.split("=", 1)[1]
+                dest = Path(f"{data_dir}/bucket={b}")
+                if not fs.exists(dest):
+                    fs.rename(st.getPath(), dest)
         fs.delete(Path(tmp_dir), True)
     if not fs.exists(Path(data_dir)):
         return {}

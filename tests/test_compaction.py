@@ -98,3 +98,23 @@ def test_compaction_respects_target_and_cleans_crashed_tmp(spark, tmp_path):
         # bound (sizes shift slightly after rewrite; bound on current)
         assert after[b] <= max(1, math.ceil(n_bytes / (32 * 1024)))
     assert verify_lineage(spark, out).filter(~F.col("ok")).count() == 0
+
+
+def test_crash_between_swap_renames_is_recoverable(spark, tmp_path):
+    # simulate: compaction crashed after moving bucket=0 to the tmp
+    # parking spot but before moving the compacted files in — the next
+    # invocation must restore the parked copy, not sweep it away
+    out = str(tmp_path / "sink")
+    result = process_documents(corpus_df(spark, N, partitions=8)).repartition(8)
+    run_with_lineage(spark, result, out, n_buckets=N_BUCKETS, run_id="r1")
+    sum_before = _checksum(spark, out)
+    n_before = spark.read.parquet(f"{out}/data").count()
+
+    import shutil
+    os.makedirs(f"{out}/.compact_tmp")
+    shutil.move(f"{out}/data/bucket=0", f"{out}/.compact_tmp/.old-bucket=0")
+
+    compact_buckets(spark, out, target_file_bytes=1 << 30)
+    assert spark.read.parquet(f"{out}/data").count() == n_before
+    assert _checksum(spark, out) == sum_before
+    assert verify_lineage(spark, out).filter(~F.col("ok")).count() == 0
