@@ -758,24 +758,32 @@ ORACLE_SQL["field_validation"] = _field_oracle()
 @query(
     "text_quality",
     oracle=f"""
+    -- integer-exact 4dp: ROUND(double, 4) is NOT portable at
+    -- half-way points (Spark rounds the shortest decimal repr
+    -- HALF_UP, DuckDB rounds the binary value — they split on e.g.
+    -- 0.89675), so every displayed ratio is computed as an integer
+    -- HALF_UP division and only then divided by 10^4
     WITH q AS (
       SELECT doc_id,
-             CASE WHEN length(text) > 0
-                  THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) / length(text)
-                  ELSE 0.0 END AS alpha,
-             least(1.0, length(text) / 200.0) AS lscore,
+             length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS letters,
              length(text) AS n_chars,
              len({_TOKS_SQL}) AS n_tokens
       FROM documents
+    ), i AS (
+      SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_chars > 0
+                  THEN (20000 * letters + n_chars) // (2 * n_chars)
+                  ELSE 0 END AS a4,
+             least(10000, 50 * n_chars) AS l4
+      FROM q
     )
     SELECT doc_id,
-           ROUND(alpha, 4) AS alpha_ratio,
-           ROUND(lscore, 4) AS length_score,
+           a4 / 10000.0 AS alpha_ratio,
+           l4 / 10000.0 AS length_score,
            n_chars,
            n_tokens,
-           greatest(0.0, least(1.0, ROUND(
-             0.3 * alpha + 0.5 * 0.9 + 0.2 * lscore, 4))) AS overall_quality
-    FROM q
+           ((3 * a4 + 2 * l4 + 45000 + 5) // 10) / 10000.0 AS overall_quality
+    FROM i
     """,
 )
 def text_quality_q(spark, sf_dir):
@@ -783,20 +791,33 @@ def text_quality_q(spark, sf_dir):
     reference's image-quality weighted mix,
     services/quality_check.py:193-199) over the documents table, with a
     fixed 0.9 extraction confidence (the UDF-produced value in the full
-    pipeline)."""
-    from ocr_service_spark.operators.quality import overall_quality, text_quality
+    pipeline). The displayed 4dp ratios use INTEGER HALF_UP arithmetic
+    (k = (2*10^4*num + den) // (2*den), display k/10^4): double
+    ROUND(x, 4) diverges between engines exactly at half-way decimal
+    reprs (found at sf0.1: 0.89675 → Spark 0.8967, DuckDB 0.8968).
+    The pipeline operator (operators/quality.overall_quality) keeps the
+    plain float mix — nothing downstream compares it cross-engine."""
+    from ocr_service_spark.functions.textstats import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    q = docs.withColumn("qs", text_quality(F.col("text")))
+    n = F.length(F.col("text"))
+    letters = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", ""))
+    a4 = F.when(
+        n > 0, F.floor((20000 * letters + n) / (2 * n)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    l4 = F.least(F.lit(10000).cast("bigint"), (50 * n).cast("bigint"))
+    q = docs.select(
+        "doc_id", a4.alias("a4"), l4.alias("l4"),
+        n.alias("n_chars"), F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
     return q.select(
         "doc_id",
-        F.round(F.col("qs.alpha_ratio"), 4).alias("alpha_ratio"),
-        F.round(F.col("qs.length_score"), 4).alias("length_score"),
-        F.col("qs.n_chars").alias("n_chars"),
-        F.col("qs.n_tokens").alias("n_tokens"),
-        overall_quality(
-            F.col("qs.alpha_ratio"), F.lit(0.9), F.col("qs.length_score")
-        ).alias("overall_quality"),
+        (F.col("a4") / 10000.0).alias("alpha_ratio"),
+        (F.col("l4") / 10000.0).alias("length_score"),
+        "n_chars",
+        "n_tokens",
+        (F.floor((3 * F.col("a4") + 2 * F.col("l4") + 45005) / 10) / 10000.0)
+        .alias("overall_quality"),
     )
 
 
@@ -3207,21 +3228,33 @@ def streaming_dedup(spark, sf_dir):
 @query(
     "funnel_stages",
     oracle="""
-    WITH seq AS (
+    -- greedy earliest-match per stage == the fold (greedy subsequence
+    -- matching is optimal). NOT list_reduce: DuckDB 1.0.0's
+    -- list_reduce returns wrong folds for some rows once the vector
+    -- holds many mixed-length lists (verified: same list correct in
+    -- isolation, wrong in the full scan).
+    WITH e AS (
       SELECT user_id,
-             list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-                       WHEN 'purchase' THEN 3 ELSE 0 END
-                  ORDER BY ts, event_id) AS codes
-      FROM events WHERE event_id % 97 < 8 GROUP BY user_id
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS code,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_id % 97 < 8
+    ), s1 AS (
+      SELECT user_id, MIN(rn) AS r1 FROM e WHERE code = 1 GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(rn) AS r2 FROM e JOIN s1 USING (user_id)
+      WHERE code = 2 AND rn > r1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(rn) AS r3 FROM e JOIN s2 USING (user_id)
+      WHERE code = 3 AND rn > r2 GROUP BY e.user_id
     ), st AS (
-      SELECT user_id,
-             list_reduce(
-               list_prepend(0, codes),
-               (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
-                                WHEN acc = 1 AND x = 2 THEN 2
-                                WHEN acc = 2 AND x = 3 THEN 3
-                                ELSE acc END) AS stage
-      FROM seq
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
     )
     SELECT stage, COUNT(*) AS n_users FROM st GROUP BY stage
     """,
