@@ -3369,3 +3369,69 @@ def compression_quality(spark, sf_dir):
         r.alias("compression_ratio"),
         (r < 0.45).alias("is_repetitive"),
     )
+
+
+@query(
+    "error_spikes",
+    oracle="""
+    -- variance from INTEGER sums (n, S, SS are exact BIGINTs), so both
+    -- engines feed identical doubles into the same expression tree;
+    -- z is floored (not rounded) at 4dp — floor of identical doubles
+    -- can only split at exact-integer products, which sqrt outputs
+    -- never hit
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n_hours,
+             SUM(n) AS sum_n, SUM(n * n) AS sum_nn
+      FROM c GROUP BY event_type
+    ), z AS (
+      SELECT c.event_type, c.h, c.n,
+             (c.n - s.sum_n / s.n_hours)
+             / sqrt((s.sum_nn - s.sum_n * s.sum_n / s.n_hours)
+                    / (s.n_hours - 1)) AS zval
+      FROM c JOIN s USING (event_type)
+      WHERE s.n_hours > 1 AND s.sum_nn * s.n_hours > s.sum_n * s.sum_n
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+           FLOOR(zval * 10000) / 10000 AS z
+    FROM z WHERE abs(zval) >= 2
+    """,
+)
+def error_spikes(spark, sf_dir):
+    """Monitoring-tier anomaly detection: hourly event counts per type,
+    z-scored against that type's own hourly distribution; emit the
+    |z| >= 2 spikes. The variance is derived from exact integer sums
+    (count, sum, sum-of-squares — the map-side-combinable sufficient
+    statistics), so this is ONE pass over events + a tiny broadcast
+    join of 5 stat rows back onto the hourly counts; at 10^12 rows the
+    same sufficient statistics make it a streaming-incremental
+    aggregate. Cross-engine exactness: both engines compute the same
+    IEEE expression over the same integers; z is floored at 4dp."""
+    ev = _t(spark, sf_dir, "events")
+    c = (ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+         .agg(F.count("*").alias("n")))
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_nn"),
+    )
+    j = c.join(F.broadcast(s), "event_type").filter(
+        (F.col("n_hours") > 1)
+        & (F.col("sum_nn") * F.col("n_hours") > F.col("sum_n") * F.col("sum_n"))
+    )
+    zval = (F.col("n") - F.col("sum_n") / F.col("n_hours")) / F.sqrt(
+        (F.col("sum_nn") - F.col("sum_n") * F.col("sum_n") / F.col("n_hours"))
+        / (F.col("n_hours") - 1)
+    )
+    return (
+        j.withColumn("zval", zval)
+        .filter(F.abs(F.col("zval")) >= 2)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            (F.floor(F.col("zval") * 10000) / 10000).alias("z"),
+        )
+    )
