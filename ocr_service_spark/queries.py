@@ -1934,6 +1934,31 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+
+
+def _mk_stream_tmp(prefix: str) -> str:
+    """Create a scratch dir for a streaming query under the repo-local
+    (gitignored) .tmp, sweeping siblings of the same prefix older than
+    2 h so repeated driver rounds can't grow the dir unboundedly."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    root = "/root/repo/.tmp"
+    os.makedirs(root, exist_ok=True)
+    cutoff = _time.time() - 7200
+    for d in os.listdir(root):
+        if d.startswith(prefix):
+            full = os.path.join(root, d)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 @query(
     "sessionize_stream",
     oracle="""
@@ -1973,13 +1998,11 @@ def sessionize_stream_q(spark, sf_dir):
     expressible with built-in streaming windows, yet still
     SQL-oracle-checkable because the flush protocol drains all state."""
     import os
-    import tempfile
     import time as _time
 
     from ocr_service_spark.streaming.sessionize_stream import sessionize_stream
 
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
-    base = tempfile.mkdtemp(prefix="sstream_", dir="/root/repo/.tmp")
+    base = _mk_stream_tmp("sstream_")
     drop, out, ck = f"{base}/drop", f"{base}/out", f"{base}/ck"
     os.makedirs(drop)
 
@@ -3184,11 +3207,9 @@ def streaming_dedup(spark, sf_dir):
     pipeline. The projected payload (user_id, event_type) is identical
     across copies, so which copy wins is immaterial to the output."""
     import os
-    import tempfile
     import time as _time
 
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
-    base = tempfile.mkdtemp(prefix="sdedup_", dir="/root/repo/.tmp")
+    base = _mk_stream_tmp("sdedup_")
     drop, out, ck = f"{base}/drop", f"{base}/out", f"{base}/ck"
     os.makedirs(drop)
 
