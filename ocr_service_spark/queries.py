@@ -3456,3 +3456,172 @@ def error_spikes(spark, sf_dir):
             (F.floor(F.col("zval") * 10000) / 10000).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-observability + search tier (north_rule: "salts skewed hosts
+# before the dedup-and-validate shuffle" — host_stats is the detector
+# that feeds pipeline.py's n_salts; tfidf_keywords adds inverted-index
+# style term scoring; price_histogram a fixed-bin distribution sketch)
+# ---------------------------------------------------------------------------
+
+# Deterministic skewed host synthesis shared by the Spark and DuckDB
+# sides: 30% of docs on one mega host, 15% on a second, the rest spread
+# over <=97 small hosts via a Knuth-hash — the same shape corpus.py
+# gives its crawl fixture (corpus.py:72-78), so the heavy-hitter
+# verdict is non-degenerate on the driver tables too.
+_HOST_SQL = (
+    "CASE WHEN doc_id % 20 < 6 THEN 'mega.example' "
+    "WHEN doc_id % 20 < 9 THEN 'mid.example' "
+    "ELSE 'host' || CAST((doc_id * 2654435761) % 97 AS VARCHAR) || '.example' END"
+)
+
+
+@query(
+    "host_stats",
+    oracle=f"""
+    WITH h AS (SELECT {_HOST_SQL} AS host, n_chars FROM documents),
+    t AS (SELECT COUNT(*) AS total FROM h),
+    g AS (SELECT host, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM h GROUP BY host)
+    SELECT host, n_docs, sum_chars,
+           ROUND(n_docs / CAST(total AS DOUBLE), 4) AS share,
+           (n_docs * 20 >= total) AS heavy
+    FROM g, t
+    """,
+)
+def host_stats(spark, sf_dir):
+    """Heavy-hitter host detection — the observability half of the
+    north rule's "salt skewed hosts" requirement (pipeline.py picks
+    n_salts from exactly this shape; reference analog: per-source batch
+    stats, scripts/process_certificates_all_phases.py:319-355). One
+    map-side-combinable count/sum agg keyed by host plus a broadcast
+    1-row total; the heavy verdict is integer-exact (n*20 >= total, no
+    float threshold). At 10^12 rows the host-keyed agg is the only
+    shuffle and its output is host-cardinality sized — the driver never
+    sees per-doc rows."""
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 20 < 6, F.lit("mega.example"))
+        .when(F.col("doc_id") % 20 < 9, F.lit("mid.example"))
+        .otherwise(F.concat(
+            F.lit("host"),
+            ((F.col("doc_id") * 2654435761) % 97).cast("string"),
+            F.lit(".example")))
+    )
+    g = (docs.select(host.alias("host"), "n_chars")
+         .groupBy("host")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("n_chars").cast("bigint").alias("sum_chars")))
+    total = docs.agg(F.count("*").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "host", "n_docs", "sum_chars",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 4)
+             .alias("share"),
+            (F.col("n_docs") * 20 >= F.col("total")).alias("heavy"),
+        )
+    )
+
+
+@query(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+    wdf AS (SELECT doc_id, term, tf,
+                   COUNT(*) OVER (PARTITION BY term) AS df
+            FROM tf),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    r AS (SELECT doc_id, term, tf, df,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tf DESC, df ASC, term ASC) AS rnk
+          FROM wdf)
+    SELECT doc_id, term, tf, df, rnk,
+           ROUND(tf * (LN((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 4)
+             AS tfidf
+    FROM r, n WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — inverted-index style term
+    scoring over the F6-normalized token stream (smoothed idf,
+    ln((N+1)/(df+1))+1, sklearn's convention). Document frequency rides
+    a count window over the per-(doc,term) table — one term-keyed
+    shuffle instead of a groupBy+join pair — and the per-doc ranking is
+    integer-exact (tf desc, df asc, term asc), so the float tfidf is
+    display-only and rounded identically on both engines. At 10^12 docs
+    the term partition carries stopword skew: salt the window's heavy
+    terms (host_stats-style detection) or swap in a precomputed
+    vocabulary-df broadcast dictionary; the per-doc rank shuffle is
+    uniform."""
+    from ocr_service_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tt = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    r = wdf.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())),
+    ).filter(F.col("rnk") <= 3)
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df", "rnk",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double"))
+                   + 1), 4).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT) AS bin,
+           CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT) * 5500 AS lo,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark, sf_dir):
+    """Fixed-width histogram of l_extendedprice (5500-wide bins) — the
+    distribution sketch a planner uses for range pruning and bin-packed
+    sampling. Entirely map-side-combinable (bin id is a pure projection,
+    every agg associative; decimal-cast sum keeps the mean independent
+    of partial order), so at 10^12 rows the shuffle moves one row per
+    (partition, bin). Bin edges are exact: price/5500.0 is one IEEE
+    division on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / 5500.0).cast("bigint")
+    return (
+        l.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double") / F.count("*"), 4).alias("avg_price"),
+        )
+        .select("bin", (F.col("bin") * 5500).alias("lo"),
+                "n", "min_price", "max_price", "avg_price")
+    )
