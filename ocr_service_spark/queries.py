@@ -3625,3 +3625,124 @@ def price_histogram(spark, sf_dir):
         .select("bin", (F.col("bin") * 5500).alias("lo"),
                 "n", "min_price", "max_price", "avg_price")
     )
+
+
+@query(
+    "boilerplate_strip",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ') AS chunk
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS u(i)
+    ), r AS (
+      SELECT doc_id, i, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY i), '')
+             AS clean_text,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def boilerplate_strip(spark, sf_dir):
+    """Exact span dedup as a TRANSFORM (RefinedWeb/C4 'remove repeated
+    spans', not just the chunk_dedup signal): non-overlapping 16-token
+    chunks, the globally-first occurrence (min (doc_id, pos)) survives,
+    every later copy is cut, and each document is rebuilt in reading
+    order from its surviving chunks. Keep-first is integer-exact via
+    row_number over (chunk, doc_id, pos) — no float threshold.
+
+    Scale shape: posexplode → one chunk-keyed window (same shuffle a
+    groupBy-min + self-join would need, without the join) → one
+    doc-keyed rebuild agg. Boilerplate skew concentrates a hot chunk's
+    copies on one reducer only for the cheap rank step — the rebuilt
+    doc rows stay uniform. Fully-duplicated docs stay in the output
+    with n_kept=0 and empty clean_text (the dedup ledger, not a drop)."""
+    from pyspark.sql import Window
+
+    from ocr_service_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0)
+    nb = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 16 + 1, 16)),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("i", "chunk"))
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "i"))
+    r = ex.withColumn("rn", rn)
+    kept_struct = F.when(F.col("rn") == 1, F.struct("i", "chunk"))
+    return r.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["chunk"]), " ").alias("clean_text"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), tt AS (
+      SELECT doc_id, unnest(toks) AS term FROM t WHERE len(toks) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tt GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, COUNT(*) AS n_term FROM tt GROUP BY term
+    ), tot AS (
+      SELECT COUNT(*) AS n_total FROM tt
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(tf.tf * LN(v.n_term / CAST(n_total AS DOUBLE))
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / SUM(tf.tf), 4) AS avg_logprob
+    FROM tf JOIN vocab v USING (term), tot
+    GROUP BY tf.doc_id
+    """,
+)
+def unigram_logprob(spark, sf_dir):
+    """Per-document average unigram log-probability under the corpus's
+    own token distribution — the cheap stand-in for CCNet's KenLM
+    perplexity bucketing (low avg_logprob = rare-token-heavy doc).
+    Cross-engine exactness: each term's contribution tf·ln(p) is cast
+    to DECIMAL(18,9) before summation, so the per-doc total is
+    independent of partial-agg order on both engines; the final mean is
+    rounded at 4dp (a 1-ulp libm ln split moves the 9th decimal, far
+    below either rounding).
+
+    Scale shape: one (doc,term) agg, a term-keyed count (the unigram
+    'model' — at 10^12 docs a precomputed dictionary broadcast), a
+    broadcast 1-row total, then a per-doc agg. No per-row Python."""
+    from ocr_service_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tt = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tt.groupBy("term").agg(F.count("*").alias("n_term"))
+    tot = tt.agg(F.count("*").alias("n_total"))
+    contrib = (F.col("tf")
+               * F.log(F.col("n_term") / F.col("n_total").cast("double"))
+               ).cast("decimal(18,9)")
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(contrib).cast("double") / F.sum("tf"), 4)
+             .alias("avg_logprob"),
+        )
+    )
