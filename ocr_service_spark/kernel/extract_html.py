@@ -241,28 +241,76 @@ _RAW_CLOSE = {
 }
 
 
-_NO_ATTRS: list = []  # extractor handlers never read or mutate attrs
+# (raw-name → (lowercased tag, flags)) memo: skips str.lower() + the
+# flag dict probe per tag occurrence. Bounded so adversarial tag soup
+# (fuzz garbage) can't grow it without limit.
+_NAME_CACHE: dict[str, tuple[str, int]] = {}
+_NAME_CACHE_MAX = 4096
 
 
-def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
+def _fused_parse(text: str) -> list[Node]:
+    """Tokenizer + node-builder state machine fused into one frame.
+
+    Behaviorally identical to driving _FlatDomParser's hooks with the
+    regex tokenizer (the previous fast path) — the hook bodies are
+    inlined here because at ~180 tags/doc the three Python calls per
+    tag (start/end/data) were ~30% of kernel CPU. _FlatDomParser
+    remains the behavioral reference; test_kernel_fuzz A/Bs the two on
+    corpus HTML, tag soup, and garbage bytes."""
     from html import unescape
 
-    # method/binding caches — this loop runs once per tag of every doc
+    nodes: list[Node] = []
     find = text.find
     match = _TAG_RE.match
-    h_data = handler.handle_data
-    h_start = handler.handle_starttag
-    h_end = handler.handle_endtag
+    flags = _TAG_FLAGS
+    cache = _NAME_CACHE
+    depth = 0
+    boiler_d = 0
+    drop_d = 0
+    link_d = 0
+    stack: list[list] = []  # [tag, depth, [texts], link_chars, boiler]
+
+    def close_top() -> None:
+        tag, d0, texts, link_chars, boiler = stack.pop()
+        norm = " ".join((texts[0] if len(texts) == 1 else "".join(texts)).split())
+        if not norm:
+            return
+        ln = len(norm)
+        nodes.append(Node(len(nodes), tag, d0, norm, ln,
+                          link_chars if link_chars < ln else ln, boiler))
+
+    def emit(d: str) -> None:  # handle_data inlined (drop/stray-text gates)
+        if drop_d > 0 or not stack or not d:
+            return
+        top = stack[-1]
+        top[2].append(d)
+        if link_d > 0:
+            # normalized length without building the string:
+            # len(" ".join(ws)) = sum(word lens) + (n_words - 1)
+            ws = d.split()
+            if ws:
+                top[3] += sum(map(len, ws)) + len(ws) - 1
+
     pos, n = 0, len(text)
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
             d = text[pos:]
-            h_data(unescape(d) if "&" in d else d)
+            emit(unescape(d) if "&" in d else d)
             break
         if lt > pos:
-            d = text[pos:lt]
-            h_data(unescape(d) if "&" in d else d)
+            # hottest data site (one run per inter-tag gap): emit()
+            # inlined to skip the call
+            if drop_d == 0 and stack:
+                d = text[pos:lt]
+                if "&" in d:
+                    d = unescape(d)
+                top = stack[-1]
+                top[2].append(d)
+                if link_d > 0:
+                    ws = d.split()
+                    if ws:
+                        top[3] += sum(map(len, ws)) + len(ws) - 1
         m = match(text, lt)
         if m is None:
             if text.startswith("</", lt):
@@ -285,32 +333,106 @@ def _fast_parse(text: str, handler: "_FlatDomParser") -> None:
                 # construct really extends to EOF). html.parser flushes
                 # the whole remainder as data at close(); mirror that.
                 d = text[lt:]
-                h_data(unescape(d) if "&" in d else d)
+                emit(unescape(d) if "&" in d else d)
                 break
             # stray '<' that opens no construct: html.parser emits it as data
-            h_data("<")
+            emit("<")
             pos = lt + 1
             continue
         pos = m.end()
         end_slash, name, self_close = m.group(1, 2, 4)
-        if name:
+        if not name:
+            continue  # comment / CDATA / doctype / PI: no node effect
+        got = cache.get(name)
+        if got is None:
             tag = name.lower()
-            if end_slash:
-                h_end(tag)
-            else:
-                h_start(tag, _NO_ATTRS)
-                if self_close:
-                    h_end(tag)
-                elif tag in _RAW_CLOSE:
-                    mm = _RAW_CLOSE[tag].search(text, pos)
-                    if mm:
-                        h_data(text[pos:mm.start()])
-                        h_end(tag)
-                        pos = mm.end()
-                    else:  # unterminated raw text: rest of doc swallowed
-                        h_data(text[pos:])
-                        pos = n
-    handler.close_blocks()
+            f = flags.get(tag, 0)
+            if len(cache) < _NAME_CACHE_MAX:
+                cache[name] = (tag, f)
+        else:
+            tag, f = got
+        if end_slash:
+            # handle_endtag inlined
+            if f & _F_VOID:
+                continue
+            if f & _F_DROP:
+                if drop_d > 0:
+                    drop_d -= 1
+                if depth > 0:
+                    depth -= 1
+                continue
+            if f & _F_BOILER and boiler_d > 0:
+                boiler_d -= 1
+            if f & _F_LINK and link_d > 0:
+                link_d -= 1
+            if f & _F_BLOCK and stack:
+                if stack[-1][0] == tag:  # well-nested fast path
+                    close_top()
+                else:
+                    # close innermost matching block (tolerates bad nesting)
+                    for i in range(len(stack) - 1, -1, -1):
+                        if stack[i][0] == tag:
+                            # close any blocks opened inside it first
+                            while len(stack) > i:
+                                close_top()
+                            break
+            if depth > 0:
+                depth -= 1
+            continue
+        # handle_starttag inlined
+        if not f & _F_VOID:
+            depth += 1
+            if f:
+                if f & _F_DROP:
+                    drop_d += 1
+                else:
+                    if f & _F_BOILER:
+                        boiler_d += 1
+                    if f & _F_LINK:
+                        link_d += 1
+                    if f & _F_BLOCK:
+                        stack.append([tag, depth, [], 0, boiler_d > 0])
+        if self_close:
+            # immediate handle_endtag for <x/>
+            if f & _F_VOID:
+                continue
+            if f & _F_DROP:
+                if drop_d > 0:
+                    drop_d -= 1
+                if depth > 0:
+                    depth -= 1
+                continue
+            if f & _F_BOILER and boiler_d > 0:
+                boiler_d -= 1
+            if f & _F_LINK and link_d > 0:
+                link_d -= 1
+            if f & _F_BLOCK and stack and stack[-1][0] == tag:
+                close_top()
+            if depth > 0:
+                depth -= 1
+        elif tag in _RAW_CLOSE:
+            mm = _RAW_CLOSE[tag].search(text, pos)
+            if mm:
+                emit(text[pos:mm.start()])  # raw text: never unescaped
+                pos = mm.end()
+                # matching close tag found: end-tag effect (both raw
+                # tags are DROP_TAGS, so only drop/depth bookkeeping)
+                if f & _F_DROP:
+                    if drop_d > 0:
+                        drop_d -= 1
+                    if depth > 0:
+                        depth -= 1
+                else:
+                    if f & _F_BLOCK and stack and stack[-1][0] == tag:
+                        close_top()
+                    if depth > 0:
+                        depth -= 1
+            else:  # unterminated raw text: swallowed, tag left open
+                emit(text[pos:])
+                pos = n
+    while stack:  # flush unclosed blocks (truncated docs)
+        close_top()
+    return nodes
 
 
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
@@ -337,18 +459,17 @@ def sniff_charset(raw: bytes) -> str:
 def parse_nodes(raw: bytes, fast: bool = True) -> tuple[list[Node], str]:
     """bytes → flat DOM-node array. Never raises on malformed HTML.
 
-    fast=True drives the node builder with the regex tokenizer (~4x
+    fast=True runs the fused regex tokenizer + node builder (~6x
     throughput); fast=False uses stdlib html.parser — kept as the
     behavioral reference (tests assert both produce identical nodes on
     the full corpus)."""
     charset = sniff_charset(raw)
     text = raw.decode(charset, errors="replace")
-    p = _FlatDomParser()
     if fast:
-        _fast_parse(text, p)
-    else:
-        p.feed(text)
-        p.close()
+        return _fused_parse(text), charset
+    p = _FlatDomParser()
+    p.feed(text)
+    p.close()
     return p.nodes, charset
 
 
