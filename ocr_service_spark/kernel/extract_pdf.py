@@ -69,8 +69,11 @@ def make_graft_pdf(blocks: list[PdfBlock]) -> bytes:
     return b"\n".join(lines) + b"\n"
 
 
+# payload group optional: an empty-text block serializes with a
+# trailing space that the line strip removes (fuzz-found), so the
+# geometry-only form must parse too
 _BLOCK_RE = re.compile(
-    rb"^(\d+) (-?\d+) (-?\d+) (\d+) (\d+) ([A-Za-z0-9+/=]*)$"
+    rb"^(\d+) (-?\d+) (-?\d+) (\d+) (\d+)(?: ([A-Za-z0-9+/=]*))?$"
 )
 
 
@@ -84,7 +87,7 @@ def _parse_graft_blocks(raw: bytes) -> list[PdfBlock]:
         if not m:
             continue  # tolerate corrupt block lines (error-skip path)
         page, x, y, w, h = (int(m.group(i)) for i in range(1, 6))
-        text = base64.b64decode(m.group(6)).decode("utf-8", errors="replace")
+        text = base64.b64decode(m.group(6) or b"").decode("utf-8", errors="replace")
         blocks.append(PdfBlock(page=page, x=x, y=y, w=w, h=h, text=text))
     return blocks
 
