@@ -129,6 +129,48 @@ def lsh_topk(
     )
 
 
+def _centroid_array(cents: DataFrame) -> DataFrame:
+    """Collapse a (cid, centroid) table into ONE row holding
+    array<struct<cid, centroid, cn>> (cn = precomputed norm), sorted by
+    cid. Broadcast-crossJoined against the vector table this turns
+    nearest-centroid assignment into a pure map stage — no per-vector
+    shuffle — which is the shape that matters at 10^12 rows (the old
+    form shuffled the whole vector table through a per-id window)."""
+    return (
+        cents.select("cid", "centroid", norm(F.col("centroid")).alias("cn"))
+        .agg(F.array_sort(
+            F.collect_list(F.struct("cid", "centroid", "cn"))).alias("cents"))
+    )
+
+
+def _assign_nearest(
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "cid",
+) -> DataFrame:
+    """(id, vec, nearest-centroid cid) via per-row argmax over the
+    broadcast centroid array. Ordering matches the previous window
+    (row_number over cs DESC, cid ASC): array_max picks lexicographic
+    max of (cs, -cid), i.e. highest rounded cosine, ties to lowest cid.
+    The vector norm is hoisted to a projected column — referencing an
+    expression inside the transform lambda would re-evaluate it per
+    centroid (textstats.let_col rationale)."""
+    carr = F.broadcast(_centroid_array(cents))
+    withn = vecs.crossJoin(carr).withColumn("_vn", norm(F.col(vec_col)))
+    best = F.array_max(F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(dot(F.col(vec_col), c["centroid"])
+                    / (F.col("_vn") * c["cn"]), 6).alias("cs"),
+            (-c["cid"]).alias("negcid"),
+            c["cid"].alias("cid"),
+        ),
+    ))
+    return withn.select(id_col, vec_col, best["cid"].alias(out_col))
+
+
 def ivf_centroids(
     emb: DataFrame,
     n_clusters: int = 8,
@@ -152,13 +194,8 @@ def ivf_centroids(
     n_clusters*dim tiny rows. Lloyd iterations beyond one are the same
     job repeated; production IVF trains on a sample anyway."""
     seeds = emb.orderBy(F.asc(id_col)).limit(n_clusters).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("sv"))
-    scored = emb.join(F.broadcast(seeds)).select(
-        id_col, vec_col, "cid",
-        cosine(F.col(vec_col), F.col("sv")).alias("cs"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cid"))
-    assigned = (scored.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).select(id_col, vec_col, "cid"))
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
+    assigned = _assign_nearest(emb, seeds, id_col, vec_col)
     pos = assigned.select(
         "cid", F.posexplode(F.col(vec_col)).alias("pos", "v"))
     means = pos.groupBy("cid", "pos").agg(
@@ -186,23 +223,34 @@ def ivf_topk(
     count per query ≈ n_probe/n_clusters of the corpus, and the
     inverted lists are a bucketed table co-partitioned by cid (at
     100 TB: written once, probed by every query batch)."""
-    cents = ivf_centroids(emb, n_clusters, id_col, vec_col)
-    # inverted lists: every vector -> its nearest (refined) centroid
-    v_scored = emb.join(F.broadcast(cents)).select(
-        id_col, vec_col, "cid",
-        cosine(F.col(vec_col), F.col("centroid")).alias("cs"))
-    wv = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cid"))
-    inv = (v_scored.withColumn("rn", F.row_number().over(wv))
-           .filter(F.col("rn") == 1).select(id_col, vec_col, "cid"))
-    # query probes
+    # materialize once: the centroid table feeds both the inverted-list
+    # build and the query probes (8 rows — the in-session stand-in for
+    # the written-once coarse quantizer)
+    cents = ivf_centroids(emb, n_clusters, id_col, vec_col).localCheckpoint(
+        eager=False)
+    # inverted lists: every vector -> its nearest (refined) centroid,
+    # assigned in a pure map stage (no per-vector shuffle)
+    inv = _assign_nearest(emb, cents, id_col, vec_col)
+    # query probes: top-n_probe centroids per query, ranked in-row on
+    # the same broadcast array (sort key (-cs, cid) ASC == cs DESC,
+    # cid ASC — the ordering the old per-query window used)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    q_scored = q.join(F.broadcast(cents)).select(
-        "query_id", "qv", "cid",
-        cosine(F.col("qv"), F.col("centroid")).alias("cs"))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    probes = (q_scored.withColumn("rn", F.row_number().over(wq))
-              .filter(F.col("rn") <= n_probe).select("query_id", "qv", "cid"))
+    qn = q.crossJoin(F.broadcast(_centroid_array(cents))).withColumn(
+        "_qn", norm(F.col("qv")))
+    probe_arr = F.slice(
+        F.array_sort(F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-F.round(dot(F.col("qv"), c["centroid"])
+                          / (F.col("_qn") * c["cn"]), 6)).alias("ncs"),
+                c["cid"].alias("cid"),
+            ),
+        )), 1, n_probe)
+    probes = qn.select(
+        "query_id", "qv",
+        F.explode(probe_arr).alias("p")).select(
+        "query_id", "qv", F.col("p.cid").alias("cid"))
     cand = inv.join(F.broadcast(probes), "cid").filter(
         F.col(id_col) != F.col("query_id"))
     scored = cand.select(

@@ -231,3 +231,21 @@ def test_compression_ratio_matches_direct_zlib(spark):
     # the synthetic corpus is template-heavy: the flag must fire for
     # some but not all docs, or the threshold tells us nothing
     assert 0 < n_rep < len(rows)
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """The nearest-centroid assignment must stay a pure map stage
+    (broadcast centroid array + in-row argmax), not a per-vector
+    window: at corpus scale every extra Exchange here shuffles the
+    whole vector table. The pre-r3 window form planned 14 Exchanges /
+    15 Windows; the array form plans 6 / 3."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7) - 3.0 for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    from ocr_service_spark.operators.similarity import ivf_topk
+
+    df = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=2,
+                  n_clusters=4, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 7, plan.count("Exchange")
+    assert plan.count("Window") <= 3, plan.count("Window")
