@@ -347,7 +347,10 @@ def _fused_parse(text: str) -> list[Node]:
         if got is None:
             tag = name.lower()
             f = flags.get(tag, 0)
-            if len(cache) < _NAME_CACHE_MAX:
+            # length cap: the tag-name charclass is unbounded, so an
+            # adversarial doc could otherwise pin huge strings in this
+            # process-lifetime dict (every real HTML tag is far shorter)
+            if len(name) <= 64 and len(cache) < _NAME_CACHE_MAX:
                 cache[name] = (tag, f)
         else:
             tag, f = got

@@ -21,6 +21,7 @@ and tested.
 from __future__ import annotations
 
 import base64
+import binascii
 import re
 from dataclasses import dataclass
 
@@ -87,7 +88,11 @@ def _parse_graft_blocks(raw: bytes) -> list[PdfBlock]:
         if not m:
             continue  # tolerate corrupt block lines (error-skip path)
         page, x, y, w, h = (int(m.group(i)) for i in range(1, 6))
-        text = base64.b64decode(m.group(6) or b"").decode("utf-8", errors="replace")
+        try:
+            text = base64.b64decode(m.group(6) or b"").decode(
+                "utf-8", errors="replace")
+        except binascii.Error:
+            continue  # payload not valid base64 (bad padding): skip line
         blocks.append(PdfBlock(page=page, x=x, y=y, w=w, h=h, text=text))
     return blocks
 

@@ -3470,10 +3470,14 @@ def error_spikes(spark, sf_dir):
 # over <=97 small hosts via a Knuth-hash — the same shape corpus.py
 # gives its crawl fixture (corpus.py:72-78), so the heavy-hitter
 # verdict is non-degenerate on the driver tables too.
+# (doc_id % 97) is reduced BEFORE the Knuth multiply: (a*k) % 97 ==
+# ((a%97)*(k%97)) % 97, and the unreduced product overflows int64 for
+# doc_id >= ~3.5e9 — exactly the scale this query claims to serve
+# (ANSI Spark and DuckDB would both abort the whole job).
 _HOST_SQL = (
     "CASE WHEN doc_id % 20 < 6 THEN 'mega.example' "
     "WHEN doc_id % 20 < 9 THEN 'mid.example' "
-    "ELSE 'host' || CAST((doc_id * 2654435761) % 97 AS VARCHAR) || '.example' END"
+    "ELSE 'host' || CAST(((doc_id % 97) * (2654435761 % 97)) % 97 AS VARCHAR) || '.example' END"
 )
 
 
@@ -3507,7 +3511,7 @@ def host_stats(spark, sf_dir):
         .when(F.col("doc_id") % 20 < 9, F.lit("mid.example"))
         .otherwise(F.concat(
             F.lit("host"),
-            ((F.col("doc_id") * 2654435761) % 97).cast("string"),
+            (((F.col("doc_id") % 97) * (2654435761 % 97)) % 97).cast("string"),
             F.lit(".example")))
     )
     g = (docs.select(host.alias("host"), "n_chars")
@@ -3732,7 +3736,9 @@ def unigram_logprob(spark, sf_dir):
         "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     vocab = tt.groupBy("term").agg(F.count("*").alias("n_term"))
-    tot = tt.agg(F.count("*").alias("n_total"))
+    # total token count derived from the vocab agg (n_vocab rows), not
+    # a third full tokenize+explode pass over the corpus
+    tot = vocab.agg(F.sum("n_term").cast("bigint").alias("n_total"))
     contrib = (F.col("tf")
                * F.log(F.col("n_term") / F.col("n_total").cast("double"))
                ).cast("decimal(18,9)")
