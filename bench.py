@@ -271,8 +271,16 @@ def main() -> None:
         # in external_cpu_s.
         bs, bb = best[n_small].get("best"), best[n_big].get("best")
         if bs and bb and bs.get("ours_cpu_s") and bb.get("ours_cpu_s"):
-            cpu_small = bs["ours_cpu_s"] / n_corpus
-            cpu_big = bb["ours_cpu_s"] / n_corpus
+            # per-child doc count derived from the child's own output
+            # (docs/s * sec), NOT this process's n_corpus: the
+            # spark-submit child (tools/scaling_job.py) defaults
+            # SPARK_GRAFT_BENCH_DOCS to 240000 while this parent
+            # defaults to 120000, which silently doubled cpu_s_per_kdoc
+            # whenever the env var was unset.
+            n_small_docs = best[n_small]["corpus_docs_per_sec"] * best[n_small]["sec"]
+            n_big_docs = best[n_big]["corpus_docs_per_sec"] * best[n_big]["sec"]
+            cpu_small = bs["ours_cpu_s"] / n_small_docs
+            cpu_big = bb["ours_cpu_s"] / n_big_docs
             result["cpu_s_per_kdoc"] = {str(n_small): round(cpu_small * 1000, 3),
                                         str(n_big): round(cpu_big * 1000, 3)}
             result["cpu_time_efficiency"] = round(cpu_small / cpu_big, 3)
