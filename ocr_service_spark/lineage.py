@@ -267,13 +267,27 @@ def compact_buckets(
         .write.partitionBy("bucket").mode("overwrite").parquet(tmp_dir)
     )
 
-    # per-bucket atomic swap: old dir out, compacted dir in
+    # per-bucket atomic swap: old dir out, compacted dir in.
+    # FileSystem.rename returns False instead of raising (e.g. a
+    # concurrent append re-created data/bucket=B between the two
+    # renames); an unchecked failure here followed by the tmp-dir
+    # sweep below would delete .old-bucket=B — the only remaining
+    # copy of committed data. Check both returns and restore the
+    # parked copy before raising.
     for b in todo:
         old = Path(f"{data_dir}/bucket={b}")
         new = Path(f"{tmp_dir}/bucket={b}")
         trash = Path(f"{tmp_dir}/.old-bucket={b}")
-        fs.rename(old, trash)
-        fs.rename(new, old)
+        if not fs.rename(old, trash):
+            raise RuntimeError(
+                f"compact_buckets: failed to park bucket={b}; "
+                "committed data untouched, aborting before sweep")
+        if not fs.rename(new, old):
+            restored = fs.rename(trash, old)
+            raise RuntimeError(
+                f"compact_buckets: failed to swap in compacted bucket={b} "
+                f"(parked copy {'restored' if restored else 'STILL AT ' + str(trash)}); "
+                "aborting before sweep")
     fs.delete(Path(tmp_dir), True)
 
     result = {}

@@ -95,42 +95,111 @@ def exact_text_dedup(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(edges: DataFrame, src: str = "u", dst: str = "v",
-                         max_iter: int = 20) -> DataFrame:
-    """Connected components over an undirected edge list, Pregel-style
-    min-label propagation: every node repeatedly adopts the minimum
-    label among itself and its neighbors until a sweep changes nothing.
-    Returns (id, label) with label = min node id in the component.
+                         max_iter: int = 25,
+                         stats: dict | None = None) -> DataFrame:
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014). Returns (id, label) with
+    label = min node id in the component — identical output contract to
+    the min-label propagation it replaced, but round count is
+    O(log^2 n) in the component size instead of O(diameter), so a
+    10^6-long dup chain converges in ~20 rounds, not 10^6 sweeps.
 
-    Scale shape: each sweep is ONE shuffle of the (tiny) edge list
-    joined to the current labels — for near-dup clustering the edges
-    are LSH candidate pairs, orders of magnitude smaller than the
-    corpus. Convergence takes O(component diameter) sweeps; dup
-    clusters are shallow so 2-4 in practice (`max_iter` only guards
-    pathological graphs — large-star/small-star, Kiveris et al., is
-    the drop-in replacement if diameters ever get deep). Labels are
-    localCheckpoint'ed per sweep so the plan stays linear instead of
-    doubling per iteration; the convergence test aggregates to a
-    single driver-side scalar (a count, not a collect)."""
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))))
-    labels = e.select(F.col("u").alias("id")).distinct().withColumn(
-        "label", F.col("id")).localCheckpoint()
-    for _ in range(max_iter):
-        nbr = (
-            e.join(labels, e.v == labels.id)
-            .groupBy("u").agg(F.min("label").alias("nbr_min"))
+    large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}).
+    small-star (edges oriented big→small): u and all its smaller
+      neighbors re-attach to the smallest neighbor.
+    Both preserve connectivity; the fixpoint is a forest of stars
+    centered at each component's minimum, read off directly as labels.
+
+    Scale shape: each round is a fixed number of shuffles (two window
+    mins + dedup) over the candidate-pair list only — for near-dup
+    clustering that is the LSH pairs, orders of magnitude smaller than
+    the corpus. One driver-side scalar per round for the convergence
+    check ((count, xor-of-xxhash64, sum) edge-set fingerprint — a
+    single aggregate action, no collect). Edge sets are
+    localCheckpoint'ed per round so the plan stays linear.
+
+    Raises RuntimeError if `max_iter` rounds pass without convergence
+    (ADVICE r3: a silent unconverged exit returned split clusters);
+    with star-contraction this needs n > ~2^sqrt(max_iter) pathology,
+    but fail loudly rather than mislabel. `stats`, if given, receives
+    {"rounds": k} for the plan tests.
+    """
+    from pyspark.sql import Window
+
+    # canonical orientation big→small; drop self-loops and duplicates
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
         )
-        new = (
-            labels.join(nbr, labels.id == nbr.u, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
-                F.col("label").alias("old_label"),
-            )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # nodes appearing ONLY in self-loop edges still owe a label row
+    real_nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    loop_only = (
+        edges.select(F.col(src).alias("id")).filter(F.col(src) == F.col(dst))
+        .distinct()
+        .join(real_nodes, "id", "left_anti")
+        .localCheckpoint()
+    )
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            F.sum(F.col("u") + F.col("v")).alias("s"),
+        ).collect()[0]
+        return (row.n, row.x, row.s)
+
+    prev = fingerprint(e)
+    rounds = 0
+    converged = prev[0] == 0
+    wu = Window.partitionBy("u")
+    while not converged and rounds < max_iter:
+        rounds += 1
+        # large-star over the symmetric neighborhood
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lm = both.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+        large = (
+            lm.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: input already oriented u > v, so min(Γ) = min(v)
+        sm = large.withColumn("m", F.min("v").over(wu))
+        small = (
+            sm.select(F.col("v").alias("n"), "m")
+            .union(sm.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = new.filter(F.col("new_label") < F.col("old_label")).count()
-        labels = new.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+        e = small
+        cur = fingerprint(e)
+        converged = cur == prev
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: edge set not converged after {max_iter} "
+            "large-star/small-star rounds — raise max_iter (labels would be "
+            "silently split otherwise)")
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint is stars (node → component min): non-centers are the u
+    # side, centers appear only as v (self-labelled)
+    labels = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("label")))
+        .union(loop_only.select("id", F.col("id").alias("label")))
+        .distinct()
+    )
     return labels

@@ -39,6 +39,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     right — equal-timestamp right rows within a group have no defined
     order."""
     rvals = [c for c in right.columns if c not in {*by, on}]
+    if not rvals:
+        # 'struct<>' is unparsable — fail with intent instead of an
+        # analysis error deep in the plan (ADVICE r3)
+        raise ValueError(
+            "asof_join: right side carries no value columns beyond "
+            f"by={by!r} and on={on!r}; nothing to append")
     rstruct_t = "struct<" + ",".join(
         f"{f.name}:{f.dataType.simpleString()}"
         for f in right.schema if f.name in rvals) + ">"
