@@ -14,12 +14,16 @@ equivalents:
   seeded with the reference defaults when the path is absent
   (core/correctors.py:30-58), meant to be broadcast.
 - S8: `read_goldens` — golden-reference texts for evaluation joins
-  (utils/dataset_loader.py:104-152): one text file per document,
-  keyed by normalized base name (F21 prefix strip).
+  (utils/dataset_loader.py:104-152): one file per document
+  (.txt/.docx/.xlsx, same format set the reference loads with
+  python-docx / pandas.read_excel; here pure-stdlib zip+XML parsers in
+  sources/office.py run inside an Arrow batch), keyed by normalized
+  base name (F21 prefix strip).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocr_service_spark.operators.correct import DEFAULT_CORRECTIONS
@@ -59,17 +63,47 @@ def read_corrections(spark: SparkSession, path: str | None = None) -> DataFrame:
         list(DEFAULT_CORRECTIONS.items()), "original string, corrected string")
 
 
-def read_goldens(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
+def _golden_text(path_s: pd.Series, content_s: pd.Series) -> pd.Series:
+    """Extension-dispatched golden decode, one Arrow batch at a time
+    (the reference's load_reference_text, utils/dataset_loader.py:
+    104-152): txt → utf-8, docx/doc → paragraph join, xlsx → per-sheet
+    grid; anything unreadable → '' (reference logs-and-returns-'')."""
+    from ocr_service_spark.sources.office import docx_text, xlsx_text
+
+    out = []
+    for p, c in zip(path_s, content_s):
+        ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
+        b = bytes(c)
+        if ext == "txt":
+            try:
+                out.append(b.decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append("")
+        elif ext in ("docx", "doc"):
+            out.append(docx_text(b))
+        elif ext == "xlsx":
+            out.append(xlsx_text(b))
+        else:
+            out.append("")
+    return pd.Series(out, dtype="object")
+
+
+def read_goldens(spark: SparkSession, path: str,
+                 glob: str = "*.{txt,doc,docx,xlsx}") -> DataFrame:
     """Golden texts keyed by normalized base name: strip directory,
     extension, and any leading '<number> ' token (F21,
     utils/dataset_loader.py:88-102). Join to extraction output on the
-    same key for evaluation (J3 pairing)."""
+    same key for evaluation (J3 pairing). Format dispatch is on
+    extension — goldens are curated eval fixtures, exactly the case
+    where extensions are trustworthy (unlike the crawl payload path,
+    which sniffs magic)."""
     raw = (
         spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     )
+    golden_udf = F.pandas_udf(_golden_text, "string").asNondeterministic()
     stem = F.regexp_replace(
         F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", "")
     return raw.select(
         F.regexp_replace(stem, r"^\d+\s+", "").alias("base_name"),
-        F.decode(F.col("content"), "utf-8").alias("expected_text"),
+        golden_udf(F.col("path"), F.col("content")).alias("expected_text"),
     )
