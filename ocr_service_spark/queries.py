@@ -678,6 +678,84 @@ def extract_roundtrip(spark, sf_dir):
 
 
 @query(
+    "area_reextract",
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id, text, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS nw,
+             CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT) AS nc
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, nw, nc,
+        array_to_string(words[1:least(12, nw)], ' ') AS c1,
+        array_to_string(words[(nc-1)*12+1:nw], ' ') AS ctail,
+        CASE WHEN nc >= 2
+             THEN array_to_string(words[(nc-2)*12+1:(nc-1)*12], ' ')
+             ELSE NULL END AS cprev
+      FROM p
+    ), eff AS (
+      -- replay kernel/htmlgen.chunk_text: ~12-word paragraphs, a short
+      -- (<25 char) tail merges into the previous chunk
+      SELECT doc_id, text,
+        CASE WHEN nc > 1 AND len(ctail) < 25 THEN nc - 1 ELSE nc END AS n_eff,
+        CASE WHEN nc > 1 AND len(ctail) < 25 AND nc = 2
+             THEN c1 || ' ' || ctail ELSE c1 END AS first_chunk,
+        CASE WHEN nc > 1 AND len(ctail) < 25
+             THEN cprev || ' ' || ctail ELSE ctail END AS last_chunk
+      FROM c
+    )
+    SELECT 'https://host' || CAST(doc_id % 97 AS VARCHAR)
+             || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      CASE WHEN n_eff >= 2 THEN 2 ELSE 1 END AS n_areas,
+      CASE WHEN n_eff >= 2
+        THEN '[Область 1]: ' || first_chunk || chr(10) || chr(10)
+             || '[Область 2]: ' || last_chunk || chr(10) || chr(10) || text
+        ELSE '[Область 1]: ' || text || chr(10) || chr(10) || text
+      END AS final_text
+    FROM eff
+    """,
+)
+def area_reextract(spark, sf_dir):
+    """M2 targeted re-extraction, driver-gated end-to-end (VERDICT r3
+    item 6): render each document into a boilerplated page, extract to
+    get the span list, select the FIRST and LAST content regions by
+    their span node_idx, re-parse the payload for just those nodes
+    (operators/areas.with_area_extraction — the reference's
+    selected-areas high-fidelity pass, core/processor.py:117-200), and
+    splice the labeled area texts ahead of the main text (F11,
+    '[Область i]: ...'). The oracle replays the page chunker
+    (kernel/htmlgen.chunk_text) in SQL, so a re-extraction that returns
+    anything but the exact node text hash-fails. Plan: scan →
+    mapInPandas(render) → ArrowEvalPython(extract) →
+    ArrowEvalPython(area re-parse) → project; zero shuffles."""
+    from ocr_service_spark.entry_pipeline import htmlified_documents
+    from ocr_service_spark.operators.areas import (
+        spliced_text,
+        with_area_extraction,
+    )
+    from ocr_service_spark.operators.extract import with_extraction
+
+    docs = htmlified_documents(spark, sf_dir)
+    ext = with_extraction(docs, "html", "x", separator=" ")
+    base = ext.select(
+        "url", "html",
+        F.col("x.text").alias("main_text"),
+        F.col("x.spans").alias("spans"))
+    first = F.get("spans", 0)["node_idx"]
+    last = F.get("spans", F.size("spans") - 1)["node_idx"]
+    sel = base.withColumn(
+        "selected_nodes",
+        F.when(F.size("spans") >= 2, F.array(first, last))
+         .otherwise(F.array(first)))
+    area = with_area_extraction(sel, "html", "selected_nodes", "area_texts")
+    return area.select(
+        "url",
+        F.size("area_texts").alias("n_areas"),
+        spliced_text(F.col("area_texts"), F.col("main_text")).alias("final_text"),
+    )
+
+
+@query(
     "field_validation",
     oracle=None,  # filled below (generated per-field SQL)
 )
