@@ -36,6 +36,9 @@ __all__ = [
     "run_with_lineage",
     "verify_lineage",
     "compact_buckets",
+    "snapshots",
+    "rollback_to_snapshot",
+    "expire_snapshots",
 ]
 
 
@@ -83,13 +86,105 @@ def clean_uncommitted(spark: SparkSession, data_dir: str, done: set[int]) -> lis
     return sorted(removed)
 
 
-def committed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
+def committed_buckets(spark: SparkSession, lineage_dir: str,
+                      as_of: int | None = None) -> set[int]:
+    """Buckets with a lineage row; `as_of` restricts to snapshots with
+    commit_seq <= as_of (time travel over the commit log)."""
     try:
-        return {
-            r.bucket for r in spark.read.parquet(lineage_dir).select("bucket").collect()
-        }
+        df = spark.read.parquet(lineage_dir)
+        if as_of is not None:
+            df = df.filter(F.col("commit_seq") <= int(as_of))
+        return {r.bucket for r in df.select("bucket").collect()}
     except Exception:  # first run: no lineage yet
         return set()
+
+
+def _next_commit_seq(spark: SparkSession, lineage_dir: str) -> int:
+    try:
+        row = spark.read.parquet(lineage_dir).agg(
+            F.max("commit_seq").alias("m")).collect()[0]
+        return int(row.m or 0) + 1
+    except Exception:
+        return 1
+
+
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The commit log, one row per snapshot (Iceberg `table.snapshots`
+    analog on the parquet emulation): (commit_seq, run_id, n_buckets,
+    total_rows). Ordered oldest-first."""
+    return (
+        spark.read.parquet(f"{out_dir}/lineage")
+        .groupBy("commit_seq", "run_id")
+        .agg(F.count("*").alias("n_buckets"),
+             F.sum("n_rows").alias("total_rows"))
+        .orderBy("commit_seq")
+    )
+
+
+def _swap_lineage(spark: SparkSession, out_dir: str, new_rows: DataFrame) -> None:
+    """Atomically replace the lineage dir (write tmp → park old → swap,
+    both renames checked — same discipline as compact_buckets)."""
+    lineage_dir = f"{out_dir}/lineage"
+    tmp = f"{out_dir}/.lineage_tmp"
+    old = f"{out_dir}/.lineage_old"
+    fs, jvm = _fs(spark, out_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    for leftover in (tmp, old):
+        if fs.exists(Path(leftover)):
+            fs.delete(Path(leftover), True)
+    new_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(Path(lineage_dir), Path(old)):
+        raise RuntimeError("lineage swap: failed to park current lineage")
+    if not fs.rename(Path(tmp), Path(lineage_dir)):
+        restored = fs.rename(Path(old), Path(lineage_dir))
+        raise RuntimeError(
+            "lineage swap: failed to install new lineage (old "
+            f"{'restored' if restored else 'parked at ' + old})")
+    fs.delete(Path(old), True)
+
+
+def rollback_to_snapshot(spark: SparkSession, out_dir: str,
+                         commit_seq: int) -> list[int]:
+    """Iceberg `rollback_to_snapshot` analog: drop every snapshot with
+    commit_seq > `commit_seq` from the lineage log and delete the data
+    buckets those snapshots committed. A subsequent `run_with_lineage`
+    recomputes exactly the dropped buckets; deterministic row ids make
+    the rewrite byte-identical (restart test). Returns the bucket list
+    that was rolled back. Raises if the target snapshot has been
+    expired (`expire_snapshots`)."""
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    min_seq = lineage.agg(F.min("commit_seq").alias("m")).collect()[0].m
+    if min_seq is not None and commit_seq < int(min_seq):
+        raise ValueError(
+            f"rollback_to_snapshot: snapshot {commit_seq} has been expired "
+            f"(oldest retained commit_seq is {min_seq})")
+    keep = lineage.filter(F.col("commit_seq") <= int(commit_seq)).localCheckpoint()
+    kept_buckets = {r.bucket for r in keep.select("bucket").collect()}
+    _swap_lineage(spark, out_dir, keep)
+    return clean_uncommitted(spark, f"{out_dir}/data", kept_buckets)
+
+
+def expire_snapshots(spark: SparkSession, out_dir: str,
+                     older_than_seq: int) -> int:
+    """Iceberg `expire_snapshots` analog: collapse history older than
+    `older_than_seq` — every lineage row with a smaller commit_seq is
+    re-stamped to it, so the CURRENT state is untouched (per-bucket
+    rows, counts and checksums survive verbatim) but time travel /
+    rollback to expired snapshots now raises. Returns the number of
+    re-stamped rows. (The parquet emulation rewrites buckets in place,
+    so unlike real Iceberg there are no old data files to reclaim —
+    expiry here trims exactly what it retains the right to: the commit
+    log.)"""
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    n = lineage.filter(F.col("commit_seq") < int(older_than_seq)).count()
+    if n == 0:
+        return 0
+    restamped = lineage.withColumn(
+        "commit_seq",
+        F.greatest(F.col("commit_seq"), F.lit(int(older_than_seq)))
+    ).localCheckpoint()
+    _swap_lineage(spark, out_dir, restamped)
+    return n
 
 
 def run_with_lineage(
@@ -136,6 +231,8 @@ def run_with_lineage(
         )
         .withColumn("wall_clock_s", F.lit(round(time.time() - t0, 3)))
         .withColumn("run_id", F.lit(run_id))
+        .withColumn("commit_seq",
+                    F.lit(_next_commit_seq(spark, lineage_dir)))
     )
     # lineage row lands only after the data commit returned — a crash
     # between the two leaves an uncommitted bucket that the next run

@@ -100,3 +100,48 @@ def test_lineage_checksums_verify(spark, tmp_path):
     checks = verify_lineage(spark, out).collect()
     assert len(checks) == 4
     assert all(r.ok for r in checks)
+
+
+def test_snapshot_rollback_and_expiry(spark, tmp_path):
+    from ocr_service_spark.lineage import (
+        expire_snapshots,
+        rollback_to_snapshot,
+        snapshots,
+    )
+
+    out = str(tmp_path / "snap")
+    # two commits → two snapshots
+    run_with_lineage(spark, _result(spark), out, n_buckets=N_BUCKETS,
+                     max_buckets_this_run=3, run_id="r1")
+    run_with_lineage(spark, _result(spark), out, n_buckets=N_BUCKETS,
+                     run_id="r2")
+    full_hash = _global_checksum(spark, out)
+    snaps = snapshots(spark, out).collect()
+    assert [(s.commit_seq, s.run_id, s.n_buckets) for s in snaps] == [
+        (1, "r1", 3), (2, "r2", N_BUCKETS - 3)]
+
+    # time travel: the as_of view of snapshot 1 is exactly r1's buckets
+    assert committed_buckets(spark, f"{out}/lineage", as_of=1) == \
+        committed_buckets(spark, f"{out}/lineage") - {
+            r.bucket for r in spark.read.parquet(f"{out}/lineage")
+            .filter("commit_seq = 2").select("bucket").collect()}
+
+    # rollback to snapshot 1 drops r2's buckets from log AND data...
+    dropped = rollback_to_snapshot(spark, out, 1)
+    assert len(dropped) == N_BUCKETS - 3
+    assert committed_buckets(spark, f"{out}/lineage") == \
+        committed_buckets(spark, f"{out}/lineage", as_of=1)
+    # ...and replaying from that snapshot restores a byte-identical table
+    redone = run_with_lineage(spark, _result(spark), out,
+                              n_buckets=N_BUCKETS, run_id="r3")
+    assert sorted(redone) == sorted(dropped)
+    assert _global_checksum(spark, out) == full_hash
+    ok = verify_lineage(spark, out)
+    assert ok.filter("NOT ok").count() == 0
+
+    # expiry collapses history; rolling back past it refuses
+    assert expire_snapshots(spark, out, older_than_seq=3) > 0
+    assert _global_checksum(spark, out) == full_hash
+    import pytest
+    with pytest.raises(ValueError, match="expired"):
+        rollback_to_snapshot(spark, out, 1)
