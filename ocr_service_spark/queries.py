@@ -3840,3 +3840,132 @@ def unigram_logprob(spark, sf_dir):
              .alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "sequence_pack",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 8 AS shard,
+        len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+      CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+      CAST((SUM(n_tokens) OVER w - n_tokens) % 256 AS BIGINT) AS seq_offset
+    FROM d
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def sequence_pack(spark, sf_dir):
+    """Training-sequence packing (the step after corpus_build in a
+    real LLM data pipeline): assign every document a (shard, seq_id,
+    seq_offset) address inside fixed 256-token training sequences —
+    contiguous packing, documents straddle sequence boundaries (the
+    trainer resets attention masks at document starts, so a straddle
+    costs nothing; splitting is the reader's job).
+
+    Determinism + scale shape: global greedy packing is inherently
+    sequential, so the corpus is first sharded by the portable md5
+    hash of doc_id (pure map), then packed per shard with ONE ordered
+    window cumsum — the only shuffle. Shard count bounds the window
+    partition (at 10^12 docs you'd use ~10^5 shards so each window
+    partition stays executor-sized); sequence ids are (shard, seq_id)
+    pairs so shards never coordinate. No rand(), no driver loop —
+    identical output at any parallelism."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint"),
+        F.lit(8))
+    d = docs.select(
+        "doc_id", shard.alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor(start / 256).alias("seq_id"),
+        (start % 256).alias("seq_offset"),
+    )
+
+
+@query(
+    "source_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) AS src_num,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 1000000 AS bucket
+      FROM documents
+    ), s AS (
+      SELECT source, SUM(n_tokens) AS src_tokens,
+             MIN(src_num) % 4 + 1 AS w
+      FROM d GROUP BY source
+    ), g AS (SELECT SUM(n_tokens) AS total_tokens FROM d),
+    sw AS (SELECT SUM(w) AS sum_w FROM s)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS kept_tokens
+    FROM d JOIN s ON d.source = s.source, g, sw
+    WHERE CAST(d.bucket AS HUGEINT) * s.src_tokens * sw.sum_w * 2
+        < CAST(1000000 AS HUGEINT) * g.total_tokens * s.w * 1
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def source_mix(spark, sf_dir):
+    """Source-mixture construction (DoReMi/The-Pile-style static
+    mixing): given per-source mixture weights, select documents so
+    each source contributes ~weight-proportional tokens to a total
+    budget of 1/2 the corpus. Weights here derive deterministically
+    from the source id (src_num % 4 + 1) so the fixture exercises
+    differentiated rates.
+
+    The selection is a HASH THRESHOLD, not an ordered prefix: doc kept
+    iff bucket(md5) < rate·10^6, where rate = budget_s / tokens_s from
+    one aggregation pass. That keeps the select a pure map (measure →
+    broadcast rates → filter): no per-source ordered window, so a
+    10^11-token source costs the same as a tiny one and re-runs are
+    idempotent. The comparison is done in integer cross-multiplied
+    form (DECIMAL(38,0)/HUGEINT), so both engines make the identical
+    keep decision at the boundary bucket — no float rounding split."""
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    dm = docs.select(
+        "doc_id", "source", src_num.alias("src_num"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    wts = (dm.groupBy("source")
+           .agg(F.sum("n_tokens").alias("src_tokens"),
+                (F.min("src_num") % 4 + 1).cast("bigint").alias("w")))
+    # corpus totals fold out of the per-source agg (n_sources rows) —
+    # never a second tokenize pass over the corpus
+    totals = wts.agg(F.sum("src_tokens").alias("total_tokens"),
+                     F.sum("w").alias("sum_w"))
+    dim = (wts.crossJoin(F.broadcast(totals))
+           .select("source", "src_tokens", "w", "total_tokens", "sum_w"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix:"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint"),
+        F.lit(1_000_000))
+    DEC = "decimal(38,0)"
+    keep = (
+        bucket.cast(DEC) * F.col("src_tokens").cast(DEC)
+        * F.col("sum_w").cast(DEC) * F.lit(2).cast(DEC)
+        < F.lit(1_000_000).cast(DEC) * F.col("total_tokens").cast(DEC)
+        * F.col("w").cast(DEC))
+    return (
+        dm.join(F.broadcast(dim), "source")
+        .filter(keep)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("kept_tokens"))
+        .orderBy("source")
+    )
