@@ -102,3 +102,26 @@ def test_incremental_dedup_probe_is_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # probe + left-join of hits
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_single_exchange(spark):
+    # md5 shard (pure map) + ONE per-shard window cumsum: exactly one
+    # Exchange; a second would mean packing regressed to a global sort
+    plan = _plan(spark, "sequence_pack")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_source_mix_probe_is_broadcast(spark):
+    # measure agg → broadcast rates → pure-map keep: the per-doc probe
+    # join must be broadcast, never a sort-merge of the corpus
+    plan = _plan(spark, "source_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_area_reextract_no_shuffle(spark):
+    # render → extract → area re-parse is a straight-line per-doc map
+    plan = _plan(spark, "area_reextract")
+    assert "Exchange" not in plan, plan
