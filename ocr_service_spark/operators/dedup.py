@@ -152,10 +152,13 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v",
     )
 
     def fingerprint(df: DataFrame):
+        # decimal(38,0) sum: 60-bit node ids × 10^12 edges overflows
+        # int64, which ANSI mode turns into a job failure
         row = df.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-            F.sum(F.col("u") + F.col("v")).alias("s"),
+            F.sum(F.col("u").cast("decimal(38,0)")
+                  + F.col("v").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
         return (row.n, row.x, row.s)
 
