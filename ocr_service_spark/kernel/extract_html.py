@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from html import unescape
 from html.parser import HTMLParser
 
 __all__ = ["Node", "HtmlExtraction", "parse_nodes", "classify_nodes", "extract_html"]
@@ -67,7 +68,7 @@ for _t in BLOCK_TAGS:
     _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     """One block-level text run — the flat DOM-node array element
     ``(tag, depth, text_len, link_density)`` of the north rule."""
@@ -257,8 +258,6 @@ def _fused_parse(text: str) -> list[Node]:
     tag (start/end/data) were ~30% of kernel CPU. _FlatDomParser
     remains the behavioral reference; test_kernel_fuzz A/Bs the two on
     corpus HTML, tag soup, and garbage bytes."""
-    from html import unescape
-
     nodes: list[Node] = []
     find = text.find
     match = _TAG_RE.match
@@ -503,7 +502,9 @@ def classify_nodes(nodes: list[Node]) -> list[bool]:
     for i, nd in enumerate(nodes):
         if nd.in_boilerplate or nd.tag == "title":
             continue
-        if nd.link_density > MAX_LINK_DENSITY:
+        # integer cross-multiply == link_density > MAX_LINK_DENSITY
+        # (0.3334 == 3334/10000; n_chars <= 0 mirrors the property's 1.0)
+        if nd.n_chars <= 0 or nd.link_chars * 10000 > 3334 * nd.n_chars:
             continue
         if nd.n_chars >= MIN_CONTENT_CHARS or (
             nd.tag in HEADING_TAGS and nd.n_chars >= MIN_HEADING_CHARS
@@ -513,7 +514,7 @@ def classify_nodes(nodes: list[Node]) -> list[bool]:
     for i, nd in enumerate(nodes):
         if keep[i] or nd.in_boilerplate or nd.tag == "title":
             continue
-        if nd.link_density > MAX_LINK_DENSITY:
+        if nd.n_chars <= 0 or nd.link_chars * 10000 > 3334 * nd.n_chars:
             continue
         if (i > 0 and strong[i - 1]) or (i + 1 < n and strong[i + 1]):
             keep[i] = True
