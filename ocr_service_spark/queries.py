@@ -1511,6 +1511,92 @@ def lineage_restart(spark, sf_dir):
 
 
 @query(
+    "lineage_timetravel",
+    oracle="""
+    SELECT b AS bucket,
+           CASE WHEN b < 4 THEN COUNT(*) END AS n_rows_asof1,
+           COUNT(*) AS n_rows_final,
+           (b >= 4) AS rolled_back,
+           TRUE AS replay_ok,
+           TRUE AS expired_rollback_raises
+    FROM (
+      SELECT ('0x' || substr(md5('https://host' || CAST(doc_id % 97 AS VARCHAR)
+                 || '.example/doc/' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8 AS b
+      FROM documents
+    )
+    GROUP BY b
+    """,
+)
+def lineage_timetravel(spark, sf_dir):
+    """Snapshot history exercised live (Iceberg `snapshots` /
+    `rollback_to_snapshot` / `expire_snapshots` analogs, lineage.py):
+
+    1. commit the extraction output in TWO snapshots (buckets 0-3 at
+       commit_seq 1, buckets 4-7 at 2);
+    2. time-travel read as-of snapshot 1 → per-bucket counts for
+       exactly the first four buckets (`n_rows_asof1`);
+    3. roll back to snapshot 1 — buckets 4-7 vanish from log AND data
+       (`rolled_back`) — then replay: the recompute must be
+       byte-identical (checksum-verified `replay_ok`);
+    4. expire history older than the replay commit; the CURRENT state
+       must survive expiry verbatim (verify_lineage still all-ok) while
+       rollback to the expired snapshot now raises
+       (`expired_rollback_raises`).
+
+    The DuckDB oracle recomputes every bucket's expected count from the
+    portable md5 bucket hash, pinning the as-of subset (b < 4: commit
+    order is the sorted-bucket prefix, run_with_lineage), the final
+    counts after rollback+replay, and the invariant columns."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocr_service_spark.entry_pipeline import htmlified_documents
+    from ocr_service_spark.lineage import (
+        committed_buckets,
+        expire_snapshots,
+        rollback_to_snapshot,
+        run_with_lineage,
+        verify_lineage,
+    )
+    from ocr_service_spark.pipeline import process_documents
+
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    out = tempfile.mkdtemp(prefix="timetravel_", dir="/root/repo/.tmp")
+    shutil.rmtree(out, ignore_errors=True)
+    result = process_documents(htmlified_documents(spark, sf_dir))
+    run_with_lineage(spark, result, out, n_buckets=8,
+                     max_buckets_this_run=4, run_id="r1")  # snapshot 1
+    run_with_lineage(spark, result, out, n_buckets=8, run_id="r2")  # snapshot 2
+    # time-travel view: buckets of snapshot 1, counted from the data
+    asof1 = sorted(committed_buckets(spark, f"{out}/lineage", as_of=1))
+    dropped = set(rollback_to_snapshot(spark, out, 1))
+    run_with_lineage(spark, result, out, n_buckets=8, run_id="r3")  # replay
+    expire_snapshots(spark, out, older_than_seq=2)
+    try:
+        rollback_to_snapshot(spark, out, 1)
+        expired_raises = False
+    except ValueError:
+        expired_raises = True
+    ver = verify_lineage(spark, out)  # post-expiry integrity: ok per bucket
+    counts = (spark.read.parquet(f"{out}/data")
+              .groupBy("bucket").agg(F.count("*").alias("n_rows_final")))
+    return (
+        counts.join(ver.select("bucket", "ok"), "bucket")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.when(F.col("bucket").isin([int(b) for b in asof1]),
+                   F.col("n_rows_final")).alias("n_rows_asof1"),
+            F.col("n_rows_final"),
+            F.col("bucket").isin([int(b) for b in dropped]).alias("rolled_back"),
+            F.col("ok").alias("replay_ok"),
+            F.lit(expired_raises).alias("expired_rollback_raises"),
+        )
+    )
+
+
+@query(
     "streaming_feedback",
     oracle="""
     WITH feedback AS (
