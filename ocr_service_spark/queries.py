@@ -4055,3 +4055,157 @@ def source_mix(spark, sf_dir):
              F.sum("n_tokens").alias("kept_tokens"))
         .orderBy("source")
     )
+
+
+@query(
+    "chunk_repair",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ') AS chunk,
+             md5(array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ')) AS h,
+             doc_id * 1048576 + i AS k
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS u(i)
+    ), f AS (
+      SELECT h, MIN(k) AS first_key FROM c GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN c.k = f.first_key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(COALESCE(string_agg(
+               CASE WHEN c.k = f.first_key THEN c.chunk END,
+               ' ' ORDER BY c.i), '')) AS kept_md5
+    FROM c JOIN f ON c.h = f.h
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_repair(spark, sf_dir):
+    """Exact-substring dedup WITH document repair — the remediation
+    half of chunk_dedup's signal (C4 removes duplicated three-sentence
+    spans from documents rather than dropping the documents; reference
+    analog: the corrections pipeline's splice-don't-drop philosophy,
+    core/correctors.py). Every non-overlapping 16-token chunk keeps
+    only its corpus-wide FIRST occurrence (min (doc_id, idx), encoded
+    as the single sortable key doc_id*2^20+idx — exact for docs under
+    2^20 chunks and doc_ids under ~8.8e12, both true at 10^12 rows);
+    each doc is rebuilt from its surviving chunks in original order and
+    the rebuilt text is hash-gated, so the oracle proves WHICH spans
+    survived, not just how many.
+
+    Scale shape: explode -> ONE map-combinable MIN per chunk hash ->
+    equi-join back on the same key -> per-doc agg with an in-group
+    array_sort over this doc's own chunks (bounded by doc length,
+    never corpus-sized). A boilerplate chunk shared by millions of
+    docs is one MIN row — never a pair expansion. No per-row Python,
+    no driver loop."""
+    from ocr_service_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        tokens(F.col("text")).alias("toks")).filter(F.size("toks") > 0)
+    nb = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 16 + 1, 16)),
+    )
+    ex = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("i", "chunk"),
+    ).select(
+        "doc_id", "i", "chunk",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * 1048576 + F.col("i")).alias("k"),
+    )
+    first = ex.groupBy("h").agg(F.min("k").alias("first_key"))
+    j = ex.join(first, "h")
+    kept = F.col("k") == F.col("first_key")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(kept, F.struct(F.col("i"), F.col("chunk"))))),
+                    lambda s: s["chunk"]),
+                " ")).alias("kept_md5"),
+        )
+    )
+
+
+@query(
+    "host_cap",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, {_HOST_SQL} AS host,
+             md5('cap:' || CAST(doc_id AS VARCHAR)) AS hsh
+      FROM documents
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY hsh, doc_id) AS rnk
+      FROM h
+    )
+    SELECT host, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rnk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN rnk <= 8 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY hsh, doc_id)) AS kept_md5
+    FROM r GROUP BY host
+    """,
+)
+def host_cap(spark, sf_dir):
+    """Per-host document quota (RefinedWeb/C4 cap spammy domains):
+    keep at most K=8 documents per host, chosen by deterministic
+    md5-hash order (an unbiased, idempotent 'random' sample — re-runs
+    and backfills pick the identical K). Emits per-host totals plus a
+    hash of exactly which doc_ids survived.
+
+    Scale shape: a naive reading says mega.example's 30% of the corpus
+    funnels through ONE window partition (a 3e11-row straggler at 10^12
+    docs) and needs manual salting. It doesn't — because the rank
+    filter sits directly on the row_number window, Catalyst's
+    rank-limit pushdown (SPARK-37099) plants a PARTIAL WindowGroupLimit
+    before the exchange: every map task forwards at most K rows per
+    host, so the reduce side sees <= K * n_map_tasks rows per host —
+    bounded by cluster width, not data size. The plan-hygiene test pins
+    that Partial node; a refactor that breaks the pushdown (e.g. rank
+    computed apart from its filter) re-opens the straggler and fails
+    the pin. Totals come from a map-combinable count agg, never the
+    window."""
+    from pyspark.sql.window import Window
+
+    K = 8
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 20 < 6, F.lit("mega.example"))
+        .when(F.col("doc_id") % 20 < 9, F.lit("mid.example"))
+        .otherwise(F.concat(
+            F.lit("host"),
+            (((F.col("doc_id") % 97) * (2654435761 % 97)) % 97).cast("string"),
+            F.lit(".example")))
+    )
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        host.alias("host"),
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+         .alias("hsh"),
+    )
+    w = Window.partitionBy("host").orderBy("hsh", "doc_id")
+    kept = (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+    )
+    kept_agg = kept.groupBy("host").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hsh", "doc_id"))),
+                lambda s: s["doc_id"].cast("string")),
+            ",")).alias("kept_md5"),
+    )
+    totals = d.groupBy("host").agg(F.count("*").alias("n_docs"))
+    return totals.join(kept_agg, "host").select(
+        "host", "n_docs", "n_kept", "kept_md5")
