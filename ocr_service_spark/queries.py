@@ -4058,86 +4058,6 @@ def source_mix(spark, sf_dir):
 
 
 @query(
-    "chunk_repair",
-    oracle=f"""
-    WITH t AS (
-      SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), c AS (
-      SELECT doc_id, i,
-             array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ') AS chunk,
-             md5(array_to_string(list_slice(toks, 16 * i + 1, 16 * i + 16), ' ')) AS h,
-             doc_id * 1048576 + i AS k
-      FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS u(i)
-    ), f AS (
-      SELECT h, MIN(k) AS first_key FROM c GROUP BY h
-    )
-    SELECT c.doc_id,
-           COUNT(*) AS n_chunks,
-           CAST(SUM(CASE WHEN c.k = f.first_key THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           md5(COALESCE(string_agg(
-               CASE WHEN c.k = f.first_key THEN c.chunk END,
-               ' ' ORDER BY c.i), '')) AS kept_md5
-    FROM c JOIN f ON c.h = f.h
-    GROUP BY c.doc_id
-    """,
-)
-def chunk_repair(spark, sf_dir):
-    """Exact-substring dedup WITH document repair — the remediation
-    half of chunk_dedup's signal (C4 removes duplicated three-sentence
-    spans from documents rather than dropping the documents; reference
-    analog: the corrections pipeline's splice-don't-drop philosophy,
-    core/correctors.py). Every non-overlapping 16-token chunk keeps
-    only its corpus-wide FIRST occurrence (min (doc_id, idx), encoded
-    as the single sortable key doc_id*2^20+idx — exact for docs under
-    2^20 chunks and doc_ids under ~8.8e12, both true at 10^12 rows);
-    each doc is rebuilt from its surviving chunks in original order and
-    the rebuilt text is hash-gated, so the oracle proves WHICH spans
-    survived, not just how many.
-
-    Scale shape: explode -> ONE map-combinable MIN per chunk hash ->
-    equi-join back on the same key -> per-doc agg with an in-group
-    array_sort over this doc's own chunks (bounded by doc length,
-    never corpus-sized). A boilerplate chunk shared by millions of
-    docs is one MIN row — never a pair expansion. No per-row Python,
-    no driver loop."""
-    from ocr_service_spark.functions.textstats import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        tokens(F.col("text")).alias("toks")).filter(F.size("toks") > 0)
-    nb = F.ceil(F.size("toks") / F.lit(16.0)).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), nb - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 16 + 1, 16)),
-    )
-    ex = d.select(
-        "doc_id", F.posexplode(chunk_arr).alias("i", "chunk"),
-    ).select(
-        "doc_id", "i", "chunk",
-        F.md5("chunk").alias("h"),
-        (F.col("doc_id") * 1048576 + F.col("i")).alias("k"),
-    )
-    first = ex.groupBy("h").agg(F.min("k").alias("first_key"))
-    j = ex.join(first, "h")
-    kept = F.col("k") == F.col("first_key")
-    return (
-        j.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
-            F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(kept, F.struct(F.col("i"), F.col("chunk"))))),
-                    lambda s: s["chunk"]),
-                " ")).alias("kept_md5"),
-        )
-    )
-
-
-@query(
     "host_cap",
     oracle=f"""
     WITH h AS (

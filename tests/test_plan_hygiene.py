@@ -127,15 +127,6 @@ def test_area_reextract_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_chunk_repair_no_cartesian_no_python(spark):
-    # explode -> MIN per chunk hash -> equi-join back -> per-doc agg:
-    # a cartesian or per-row Python here means the repair regressed to
-    # pair expansion / driver-side splicing
-    plan = _plan(spark, "chunk_repair")
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-
-
 def test_host_cap_partial_group_limit_pushed(spark):
     # the rank filter must stay fused to its window so Catalyst's
     # rank-limit pushdown (SPARK-37099) plants a PARTIAL
