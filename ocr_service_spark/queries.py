@@ -4129,3 +4129,214 @@ def host_cap(spark, sf_dir):
     totals = d.groupBy("host").agg(F.count("*").alias("n_docs"))
     return totals.join(kept_agg, "host").select(
         "host", "n_docs", "n_kept", "kept_md5")
+
+
+# ---------------------------------------------------------------------------
+# Link-graph tier (CC-style web-structure products: anchor/edge
+# extraction via kernel/links.py, host-level PageRank prior)
+# ---------------------------------------------------------------------------
+
+_LK_DST_SQL = (
+    "CAST(('0x' || substr(md5('lk:' || CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 97"
+)
+
+
+def _lk_dst(j: int):
+    """Spark twin of _LK_DST_SQL: portable md5 bucket -> dst host id."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("lk:"), F.col("doc_id").cast("string"),
+                           F.lit(f":{j}"))), 1, 15), 16, 10).cast("bigint"),
+        F.lit(97))
+
+
+@query(
+    "link_graph",
+    oracle=f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+    l0 AS (
+      SELECT doc_id, j, {_LK_DST_SQL} AS dst
+      FROM d, unnest([1, 2, 3]) AS u(j)
+    ),
+    l AS (
+      SELECT 'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS src_host,
+             'host' || CAST(dst AS VARCHAR) || '.example' AS dst_host,
+             (CASE j WHEN 1 THEN 'ref & bold '
+                     WHEN 2 THEN 'plain ' ELSE 'tail ' END)
+               || CAST(dst AS VARCHAR) AS anchor
+      FROM l0
+    )
+    SELECT src_host, dst_host, COUNT(*) AS n_links,
+           md5(string_agg(anchor, '|' ORDER BY anchor)) AS anchors_md5
+    FROM l GROUP BY src_host, dst_host
+    """,
+)
+def link_graph(spark, sf_dir):
+    """Host-level link-graph construction through the REAL anchor
+    kernel: each document is rendered into a page carrying three
+    deterministic outlinks plus three traps — an '<a href>' inside a
+    <script> string (rawtext: must NOT become a link), an href-less
+    '<a name>' (a target, not a link), and an anchor whose text holds
+    an entity + nested markup ('ref &amp; <b>bold</b> N' must flatten
+    to 'ref & bold N'). kernel/links.extract_links parses the page
+    (Arrow-batched, operators/links.py), hrefs resolve to dst hosts,
+    and the (src,dst) edge list with an order-insensitive anchor-text
+    hash is gated against an oracle that computes the expected links
+    arithmetically — so a leaked trap, a lost entity, or a dropped
+    edge all hash-fail (the pii_scrub fixture pattern).
+
+    Scale shape: render+extract is ONE ArrowEvalPython projection (no
+    shuffle), then one map-combinable edge agg keyed (src,dst) — at
+    10^12 docs the only shuffle carries edge-group rows. Anchor-text
+    concat stays bounded per edge group by the per-page link count."""
+    from ocr_service_spark.operators.links import with_link_extraction
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    did = F.col("doc_id").cast("string")
+    dst = {j: _lk_dst(j).cast("string") for j in (1, 2, 3)}
+    page = F.concat(
+        F.lit('<html><head><script>var s = '
+              '\'<a href="https://evil.example/">x</a>\';'
+              '</script></head><body>'),
+        F.lit('<a name="top">no href anchor</a>'),
+        F.lit('<a href="https://host'), dst[1], F.lit('.example/p/'), did,
+        F.lit('-1">ref &amp; <b>bold</b> '), dst[1], F.lit('</a>'),
+        F.lit('<p>filler text here</p>'),
+        F.lit('<a href="https://host'), dst[2], F.lit('.example/p/'), did,
+        F.lit('-2">plain '), dst[2], F.lit('</a>'),
+        F.lit('<a href="https://host'), dst[3], F.lit('.example/p/'), did,
+        F.lit('-3">tail '), dst[3], F.lit('</a></body></html>'),
+    )
+    rendered = d.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 97).cast("string"),
+                 F.lit(".example")).alias("src_host"),
+        F.encode(page, "utf-8").alias("html"),
+    )
+    lk = with_link_extraction(rendered, "html", "links")
+    e = lk.select(
+        "src_host", F.explode("links").alias("l"),
+    ).select(
+        "src_host",
+        F.regexp_extract(F.col("l.href"),
+                         r"https://(host[0-9]+\.example)/", 1)
+         .alias("dst_host"),
+        F.col("l.text").alias("anchor"),
+    )
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("anchor")), "|"))
+         .alias("anchors_md5"),
+    )
+
+
+@query(
+    "host_pagerank",
+    oracle=f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+    e0 AS (
+      SELECT DISTINCT doc_id % 97 AS src, {_LK_DST_SQL} AS dst
+      FROM d, unnest([1, 2, 3]) AS u(j)
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+    hosts AS (SELECT DISTINCT src AS h FROM e0
+              UNION SELECT DISTINCT dst FROM e0),
+    n AS (SELECT COUNT(*) AS nh FROM hosts),
+    p0 AS (SELECT h, CAST(FLOOR(1000000000000 / nh) AS BIGINT) AS pr,
+                  CAST(FLOOR(150000000000 / nh) AS BIGINT) AS base
+           FROM hosts, n),
+    i1 AS (
+      SELECT p.h, p.base + COALESCE(m.mass, 0) AS pr, p.base
+      FROM p0 p LEFT JOIN (
+        SELECT e.dst,
+               CAST(SUM(CAST(FLOOR(q.pr * 85 / (g.deg * 100)) AS BIGINT))
+                    AS BIGINT) AS mass
+        FROM e0 e JOIN deg g ON e.src = g.src JOIN p0 q ON q.h = e.src
+        GROUP BY e.dst) m ON m.dst = p.h
+    ),
+    i2 AS (
+      SELECT p.h, p.base + COALESCE(m.mass, 0) AS pr, p.base
+      FROM i1 p LEFT JOIN (
+        SELECT e.dst,
+               CAST(SUM(CAST(FLOOR(q.pr * 85 / (g.deg * 100)) AS BIGINT))
+                    AS BIGINT) AS mass
+        FROM e0 e JOIN deg g ON e.src = g.src JOIN i1 q ON q.h = e.src
+        GROUP BY e.dst) m ON m.dst = p.h
+    ),
+    i3 AS (
+      SELECT p.h, p.base + COALESCE(m.mass, 0) AS pr
+      FROM i2 p LEFT JOIN (
+        SELECT e.dst,
+               CAST(SUM(CAST(FLOOR(q.pr * 85 / (g.deg * 100)) AS BIGINT))
+                    AS BIGINT) AS mass
+        FROM e0 e JOIN deg g ON e.src = g.src JOIN i2 q ON q.h = e.src
+        GROUP BY e.dst) m ON m.dst = p.h
+    )
+    SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+           CAST(pr AS BIGINT) AS pr_scaled
+    FROM i3
+    """,
+)
+def host_pagerank(spark, sf_dir):
+    """Host-quality prior via PageRank over the same deterministic
+    link graph link_graph extracts — the CC host-rank signal that
+    feeds crawl-frontier and corpus-quality weighting. Three unrolled
+    power iterations (damping 0.85, uniform teleport), all arithmetic
+    INTEGER at a 10^12 fixed-point scale: per-edge mass transfer is
+    floor(pr*85/(100*deg)), so both engines make bit-identical
+    decisions at every step — no float summation order, no decimal
+    scale-inference divergence across three chained iterations. (The
+    floor leaks <1 unit of 10^-12 mass per edge per sweep —
+    irrelevant for a ranking prior, and exactly reproducible.)
+
+    Scale shape: the canonical distributed PageRank — edge list keyed
+    by src joins the rank vector (one shuffle per sweep), mass
+    re-aggregates map-combinably on dst, teleport re-attaches via a
+    left join on the host set. Iterations are UNROLLED into one plan:
+    no driver-side loop actions, no collect. At 10^12 edges each
+    sweep is the same two keyed exchanges; the rank vector stays
+    host-cardinality sized."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    dj = d.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+    dst = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("lk:"), F.col("doc_id").cast("string"),
+                           F.lit(":"), F.col("j").cast("string"))),
+            1, 15), 16, 10).cast("bigint"),
+        F.lit(97))
+    e = dj.select((F.col("doc_id") % 97).alias("src"),
+                  dst.alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    hosts = e.select(F.col("src").alias("h")).union(
+        e.select(F.col("dst").alias("h"))).distinct()
+    nh = hosts.agg(F.count("*").alias("nh"))
+    base = hosts.crossJoin(F.broadcast(nh)).select(
+        "h",
+        F.floor(F.lit(1000000000000) / F.col("nh")).cast("bigint").alias("pr0"),
+        F.floor(F.lit(150000000000) / F.col("nh")).cast("bigint").alias("base"),
+    )
+    ed = e.join(deg, "src")
+    pr = base.select("h", F.col("pr0").alias("pr"))
+    for _ in range(3):
+        mass = (
+            ed.join(pr.select(F.col("h").alias("src"), "pr"), "src")
+            .select("dst",
+                    F.floor(F.col("pr") * 85 / (F.col("deg") * 100))
+                     .cast("bigint").alias("t"))
+            .groupBy("dst")
+            .agg(F.sum("t").cast("bigint").alias("mass"))
+        )
+        pr = (
+            base.join(mass, base.h == mass.dst, "left")
+            .select(F.col("h"),
+                    (F.col("base") + F.coalesce(F.col("mass"), F.lit(0)))
+                    .cast("bigint").alias("pr"))
+        )
+    return pr.select(
+        F.concat(F.lit("host"), F.col("h").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.col("pr").alias("pr_scaled"),
+    )

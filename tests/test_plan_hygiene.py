@@ -135,3 +135,22 @@ def test_host_cap_partial_group_limit_pushed(spark):
     plan = _plan(spark, "host_cap")
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_link_graph_single_arrow_node_one_shuffle(spark):
+    # render+extract is one pinned ArrowEvalPython projection; the only
+    # shuffle is the (src,dst) edge agg. A second Arrow node means the
+    # asNondeterministic pin regressed (corpus parsed twice).
+    plan = _plan(spark, "link_graph")
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_host_pagerank_no_python_no_cartesian(spark):
+    # three unrolled integer sweeps: keyed joins + map-combinable aggs
+    # only — per-row Python or a cartesian means the iteration shape
+    # regressed (the 1-row host-count crossJoin is broadcast by design)
+    plan = _plan(spark, "host_pagerank")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
