@@ -233,6 +233,14 @@ _TAG_RE = re.compile(
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"   # 3: attrs (quote-aware, lazy
                                             #    so a trailing / reaches 4)
     r"(/?)>"                                # 4: self-closing slash
+    r"|/[^>]*(?:>|$)"                       # null/bogus end tag ('</>',
+                                            #    '</3>', '</ x>', or '</x'
+                                            #    truncated at EOF):
+                                            #    swallowed silently
+    r"|([a-zA-Z])"                          # 5: start tag that never
+                                            #    completes (no '>' ahead /
+                                            #    quote open to EOF): rest
+                                            #    of the doc becomes data
     r")",
     re.S,
 )
@@ -259,8 +267,7 @@ def _fused_parse(text: str) -> list[Node]:
     remains the behavioral reference; test_kernel_fuzz A/Bs the two on
     corpus HTML, tag soup, and garbage bytes."""
     nodes: list[Node] = []
-    find = text.find
-    match = _TAG_RE.match
+    search = _TAG_RE.search
     flags = _TAG_FLAGS
     cache = _NAME_CACHE
     depth = 0
@@ -292,16 +299,39 @@ def _fused_parse(text: str) -> list[Node]:
 
     pos, n = 0, len(text)
     while pos < n:
-        lt = find("<", pos)
-        if lt < 0:
-            d = text[pos:]
-            emit(unescape(d) if "&" in d else d)
+        # ONE C-level scan per construct: the pattern's literal '<'
+        # prefix makes search() do find + match together. Every '<'
+        # that opens NO construct (stray '<', '<'+unicode-letter, bare
+        # '<' at EOF) is skipped by the engine and lands inside the
+        # next data run; the two extra alternations keep the match-
+        # failure semantics the old two-step loop handled in Python
+        # (bogus end tags swallowed, unterminated start tag = group 5).
+        m = search(text, pos)
+        if m is None:
+            # remainder holds no construct — only stray '<'s (never
+            # '<'+ascii-letter: group 5 would have matched). Replay
+            # html.parser piecewise: each stray '<' and each inter-
+            # stray run is its own handle_data call.
+            for i, piece in enumerate(text[pos:].split("<")):
+                if i:
+                    emit("<")
+                if piece:
+                    emit(unescape(piece) if "&" in piece else piece)
             break
-        if lt > pos:
+        st = m.start()
+        if st > pos:
             # hottest data site (one run per inter-tag gap): emit()
-            # inlined to skip the call
-            if drop_d == 0 and stack:
-                d = text[pos:lt]
+            # inlined to skip the call. A run containing stray '<'s is
+            # rare — replay those piecewise to keep handle_data
+            # boundaries identical to html.parser's.
+            d = text[pos:st]
+            if "<" in d:
+                for i, piece in enumerate(d.split("<")):
+                    if i:
+                        emit("<")
+                    if piece:
+                        emit(unescape(piece) if "&" in piece else piece)
+            elif drop_d == 0 and stack:
                 if "&" in d:
                     d = unescape(d)
                 top = stack[-1]
@@ -310,38 +340,20 @@ def _fused_parse(text: str) -> list[Node]:
                     ws = d.split()
                     if ws:
                         top[3] += sum(map(len, ws)) + len(ws) - 1
-        m = match(text, lt)
-        if m is None:
-            if text.startswith("</", lt):
-                # null ('</>') or bogus ('</3>', '</ x>') end tag:
-                # HTML5 + html.parser swallow to the next '>' silently
-                gt = find(">", lt)
-                if gt < 0:
-                    break  # EOF inside bogus end tag: swallowed
-                pos = gt + 1
-                continue
-            nxt = text[lt + 1:lt + 2]
-            # ASCII letters ONLY: html.parser's tag-open test is
-            # <[a-zA-Z]; unicode str.isalpha() is true for 'é' etc.,
-            # which would misroute '<é' into the unterminated-start-tag
-            # branch and swallow real tags after it as text
-            if nxt.isalpha() and nxt.isascii():
+        end_slash, name, self_close = m.group(1, 2, 4)
+        if name is None:
+            if m.group(5) is not None:
                 # start tag that never completes — no '>' ahead, or an
                 # attribute quote left open to EOF (quoted values may
-                # contain '>', so the regex only fails when the
+                # contain '>', so the branch only wins when the
                 # construct really extends to EOF). html.parser flushes
                 # the whole remainder as data at close(); mirror that.
-                d = text[lt:]
+                d = text[st:]
                 emit(unescape(d) if "&" in d else d)
                 break
-            # stray '<' that opens no construct: html.parser emits it as data
-            emit("<")
-            pos = lt + 1
-            continue
+            pos = m.end()
+            continue  # comment / CDATA / doctype / PI / bogus end tag
         pos = m.end()
-        end_slash, name, self_close = m.group(1, 2, 4)
-        if not name:
-            continue  # comment / CDATA / doctype / PI: no node effect
         got = cache.get(name)
         if got is None:
             tag = name.lower()
