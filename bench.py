@@ -49,6 +49,12 @@ HEADLINE = [
     # the composed corpus-construction flagship (r3): URL gate →
     # canonical keep-one → decontaminate → quality → split
     "corpus_build",
+    # r4 additions: per-host quota (WindowGroupLimit pushdown),
+    # link-graph extraction (html.parser anchor kernel), integer-exact
+    # host PageRank — in the headline so regressions stay visible
+    "host_cap",
+    "link_graph",
+    "host_pagerank",
 ]
 
 
