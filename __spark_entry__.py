@@ -33,9 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ocr_service_spark.queries import QUERIES
+    # Driver-facing ORDER matters: the correctness gate takes the first
+    # 50 entries (VERDICT r4), so never-driver-proven queries come
+    # first — see queries.DRIVER_PRIORITY and COVERAGE.md's rotation.
+    from ocr_service_spark.queries import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
