@@ -86,26 +86,54 @@ def clean_uncommitted(spark: SparkSession, data_dir: str, done: set[int]) -> lis
     return sorted(removed)
 
 
+def _read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    """Read the commit log, or None ONLY when it genuinely does not
+    exist (first run). A transient read failure must RAISE, never pass
+    for "no lineage": committed_buckets()=∅ would send
+    clean_uncommitted after every committed data bucket, and
+    _next_commit_seq()=1 would mint duplicate commit_seq values that
+    silently corrupt time-travel/rollback (ADVICE r4). If the primary
+    dir is missing but `.lineage_old` exists, a concurrent (or crashed)
+    _swap_lineage is mid-swap — read the parked copy rather than
+    treating a fully-committed table as empty. Lineage dirs written
+    before the commit_seq column existed are rejected loudly (their
+    null commit_seq rows would be silently dropped by every as_of
+    filter)."""
+    fs, jvm = _fs(spark, lineage_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    read_dir = lineage_dir
+    if not fs.exists(Path(lineage_dir)):
+        parked = lineage_dir.rstrip("/").rsplit("/", 1)[0] + "/.lineage_old"
+        if not fs.exists(Path(parked)):
+            return None  # first run
+        read_dir = parked
+    df = spark.read.parquet(read_dir)  # any failure here propagates
+    if "commit_seq" not in df.columns:
+        raise ValueError(
+            f"lineage dir {read_dir} predates the commit_seq column; "
+            "refusing to guess snapshot boundaries — rewrite it with "
+            "run_with_lineage or migrate it explicitly")
+    return df
+
+
 def committed_buckets(spark: SparkSession, lineage_dir: str,
                       as_of: int | None = None) -> set[int]:
     """Buckets with a lineage row; `as_of` restricts to snapshots with
     commit_seq <= as_of (time travel over the commit log)."""
-    try:
-        df = spark.read.parquet(lineage_dir)
-        if as_of is not None:
-            df = df.filter(F.col("commit_seq") <= int(as_of))
-        return {r.bucket for r in df.select("bucket").collect()}
-    except Exception:  # first run: no lineage yet
+    df = _read_lineage(spark, lineage_dir)
+    if df is None:  # first run: no lineage yet
         return set()
+    if as_of is not None:
+        df = df.filter(F.col("commit_seq") <= int(as_of))
+    return {r.bucket for r in df.select("bucket").collect()}
 
 
 def _next_commit_seq(spark: SparkSession, lineage_dir: str) -> int:
-    try:
-        row = spark.read.parquet(lineage_dir).agg(
-            F.max("commit_seq").alias("m")).collect()[0]
-        return int(row.m or 0) + 1
-    except Exception:
+    df = _read_lineage(spark, lineage_dir)
+    if df is None:
         return 1
+    row = df.agg(F.max("commit_seq").alias("m")).collect()[0]
+    return int(row.m or 0) + 1
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -123,7 +151,16 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def _swap_lineage(spark: SparkSession, out_dir: str, new_rows: DataFrame) -> None:
     """Atomically replace the lineage dir (write tmp → park old → swap,
-    both renames checked — same discipline as compact_buckets)."""
+    both renames checked — same discipline as compact_buckets).
+
+    Concurrency: mutating ops (rollback/expire/compact) assume a SINGLE
+    writer per table, like Iceberg without a catalog lock. The window
+    where the log is parked at .lineage_old but the replacement is not
+    yet installed is covered for READERS: _read_lineage falls back to
+    the parked copy, so a concurrent run_with_lineage can no longer
+    observe an empty commit log and clean_uncommitted the committed
+    data buckets (ADVICE r4). Two concurrent WRITERS remain out of
+    scope — run them serially."""
     lineage_dir = f"{out_dir}/lineage"
     tmp = f"{out_dir}/.lineage_tmp"
     old = f"{out_dir}/.lineage_old"

@@ -2291,14 +2291,22 @@ def warc_extract(spark, sf_dir):
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the temp name carries the GLOBALLY-UNIQUE task attempt id:
+        # two live attempts of the same task (speculation, or a zombie
+        # surviving a stage retry) must never share an .inprogress
+        # path, or their writes interleave into a torn archive that
+        # the atomic rename then publishes (ADVICE r4)
+        attempt = ctx.taskAttemptId()
         for bi, pdf in enumerate(batches):
             recs = [(u, t.to_pydatetime(), bytes(h))
                     for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])]
             path = f"{base}/part-{pid:05d}-{bi:04d}.warc.gz"
-            with open(path + ".inprogress", "wb") as f:
+            tmp = f"{path}.{attempt}.inprogress"
+            with open(tmp, "wb") as f:
                 f.write(write_warc_bytes(recs))
-            _os.rename(path + ".inprogress", path)
+            _os.rename(tmp, path)
             yield pd.DataFrame({"part": [pid], "n_records": [len(recs)]})
 
     docs.repartition(8).mapInPandas(pack, "part int, n_records long").count()
@@ -4243,15 +4251,14 @@ def link_graph(spark, sf_dir):
     hosts AS (SELECT DISTINCT src AS h FROM e0
               UNION SELECT DISTINCT dst FROM e0),
     n AS (SELECT COUNT(*) AS nh FROM hosts),
-    p0 AS (SELECT h, CAST(FLOOR(1000000000000 / nh) AS BIGINT) AS pr,
-                  CAST(FLOOR(150000000000 / nh) AS BIGINT) AS base
+    p0 AS (SELECT h, CAST(1000000000000 // nh AS BIGINT) AS pr,
+                  CAST(150000000000 // nh AS BIGINT) AS base
            FROM hosts, n),
     i1 AS (
       SELECT p.h, p.base + COALESCE(m.mass, 0) AS pr, p.base
       FROM p0 p LEFT JOIN (
         SELECT e.dst,
-               CAST(SUM(CAST(FLOOR(q.pr * 85 / (g.deg * 100)) AS BIGINT))
-                    AS BIGINT) AS mass
+               CAST(SUM((q.pr * 85) // (g.deg * 100)) AS BIGINT) AS mass
         FROM e0 e JOIN deg g ON e.src = g.src JOIN p0 q ON q.h = e.src
         GROUP BY e.dst) m ON m.dst = p.h
     ),
@@ -4259,8 +4266,7 @@ def link_graph(spark, sf_dir):
       SELECT p.h, p.base + COALESCE(m.mass, 0) AS pr, p.base
       FROM i1 p LEFT JOIN (
         SELECT e.dst,
-               CAST(SUM(CAST(FLOOR(q.pr * 85 / (g.deg * 100)) AS BIGINT))
-                    AS BIGINT) AS mass
+               CAST(SUM((q.pr * 85) // (g.deg * 100)) AS BIGINT) AS mass
         FROM e0 e JOIN deg g ON e.src = g.src JOIN i1 q ON q.h = e.src
         GROUP BY e.dst) m ON m.dst = p.h
     ),
@@ -4268,8 +4274,7 @@ def link_graph(spark, sf_dir):
       SELECT p.h, p.base + COALESCE(m.mass, 0) AS pr
       FROM i2 p LEFT JOIN (
         SELECT e.dst,
-               CAST(SUM(CAST(FLOOR(q.pr * 85 / (g.deg * 100)) AS BIGINT))
-                    AS BIGINT) AS mass
+               CAST(SUM((q.pr * 85) // (g.deg * 100)) AS BIGINT) AS mass
         FROM e0 e JOIN deg g ON e.src = g.src JOIN i2 q ON q.h = e.src
         GROUP BY e.dst) m ON m.dst = p.h
     )
@@ -4284,11 +4289,15 @@ def host_pagerank(spark, sf_dir):
     feeds crawl-frontier and corpus-quality weighting. Three unrolled
     power iterations (damping 0.85, uniform teleport), all arithmetic
     INTEGER at a 10^12 fixed-point scale: per-edge mass transfer is
-    floor(pr*85/(100*deg)), so both engines make bit-identical
-    decisions at every step — no float summation order, no decimal
-    scale-inference divergence across three chained iterations. (The
-    floor leaks <1 unit of 10^-12 mass per edge per sweep —
-    irrelevant for a ranking prior, and exactly reproducible.)
+    (pr*85) div (100*deg) — true bigint division on both engines
+    (Spark `div`, DuckDB `//`; ADVICE r4 flagged the earlier
+    double-precision FLOOR(a/b) form, which was exact only by the
+    2^53 argument since pr*85 <= 8.5e13) — so both engines make
+    bit-identical decisions at every step: no float summation order,
+    no decimal scale-inference divergence across three chained
+    iterations. (The truncation leaks <1 unit of 10^-12 mass per edge
+    per sweep — irrelevant for a ranking prior, and exactly
+    reproducible.)
 
     Scale shape: the canonical distributed PageRank — edge list keyed
     by src joins the rank vector (one shuffle per sweep), mass
@@ -4315,8 +4324,8 @@ def host_pagerank(spark, sf_dir):
     nh = hosts.agg(F.count("*").alias("nh"))
     base = hosts.crossJoin(F.broadcast(nh)).select(
         "h",
-        F.floor(F.lit(1000000000000) / F.col("nh")).cast("bigint").alias("pr0"),
-        F.floor(F.lit(150000000000) / F.col("nh")).cast("bigint").alias("base"),
+        F.expr("1000000000000 div nh").cast("bigint").alias("pr0"),
+        F.expr("150000000000 div nh").cast("bigint").alias("base"),
     )
     ed = e.join(deg, "src")
     pr = base.select("h", F.col("pr0").alias("pr"))
@@ -4324,7 +4333,7 @@ def host_pagerank(spark, sf_dir):
         mass = (
             ed.join(pr.select(F.col("h").alias("src"), "pr"), "src")
             .select("dst",
-                    F.floor(F.col("pr") * 85 / (F.col("deg") * 100))
+                    F.expr("(pr * 85) div (deg * 100)")
                      .cast("bigint").alias("t"))
             .groupBy("dst")
             .agg(F.sum("t").cast("bigint").alias("mass"))

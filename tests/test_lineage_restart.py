@@ -145,3 +145,40 @@ def test_snapshot_rollback_and_expiry(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="expired"):
         rollback_to_snapshot(spark, out, 1)
+
+
+def test_committed_buckets_reads_parked_log_mid_swap(spark, tmp_path):
+    # ADVICE r4: during _swap_lineage's park→install window the commit
+    # log lives at .lineage_old; a reader landing there must see the
+    # committed buckets, NOT an empty log (which would send
+    # clean_uncommitted after every committed data bucket).
+    import os
+
+    out = str(tmp_path / "t")
+    done = run_with_lineage(spark, _result(spark), out,
+                            n_buckets=N_BUCKETS, run_id="r1")
+    os.rename(f"{out}/lineage", f"{out}/.lineage_old")
+    assert committed_buckets(spark, f"{out}/lineage") == set(done)
+    from ocr_service_spark.lineage import _next_commit_seq
+
+    assert _next_commit_seq(spark, f"{out}/lineage") == 2
+
+
+def test_pre_commit_seq_lineage_rejected(spark, tmp_path):
+    # A lineage dir from before the commit_seq column must fail loudly:
+    # its null commit_seq rows would be silently dropped by every
+    # as_of filter and _next_commit_seq would restart at 1.
+    import pytest
+
+    out = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(0, 10, "c", 0.1, "r1")],
+        "bucket int, n_rows long, checksum string, wall_clock_s double, "
+        "run_id string",
+    ).write.parquet(f"{out}/lineage")
+    with pytest.raises(ValueError, match="commit_seq"):
+        committed_buckets(spark, f"{out}/lineage")
+
+
+def test_missing_lineage_is_first_run(spark, tmp_path):
+    assert committed_buckets(spark, str(tmp_path / "nope" / "lineage")) == set()
