@@ -4351,6 +4351,166 @@ def host_pagerank(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_pagerank",
+    oracle=f"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+    ec AS (
+      SELECT DISTINCT doc_id % 97 AS src, {_LK_DST_SQL} AS dst
+      FROM d, unnest([1, 2, 3]) AS u(j) WHERE doc_id % 5 <> 4
+    ),
+    eb AS (
+      SELECT DISTINCT doc_id % 97 AS src, {_LK_DST_SQL} AS dst
+      FROM d, unnest([1, 2, 3]) AS u(j) WHERE doc_id % 5 = 4
+    ),
+    em AS (SELECT src, dst FROM ec UNION SELECT src, dst FROM eb),
+    hc AS (SELECT src AS h FROM ec UNION SELECT dst FROM ec),
+    hm AS (SELECT src AS h FROM em UNION SELECT dst FROM em),
+    nc AS (SELECT COUNT(*) AS n FROM hc),
+    nm AS (SELECT COUNT(*) AS n FROM hm),
+    degc AS (SELECT src, COUNT(*) AS deg FROM ec GROUP BY src),
+    degm AS (SELECT src, COUNT(*) AS deg FROM em GROUP BY src),
+    p0 AS (SELECT h, CAST(1000000000000 // n AS BIGINT) AS pr FROM hc, nc),
+    p1 AS (
+      SELECT h.h, CAST(150000000000 // (SELECT n FROM nc) AS BIGINT)
+             + COALESCE(m.mass, 0) AS pr
+      FROM hc h LEFT JOIN (
+        SELECT e.dst, CAST(SUM((q.pr * 85) // (g.deg * 100)) AS BIGINT) AS mass
+        FROM ec e JOIN degc g ON e.src = g.src JOIN p0 q ON q.h = e.src
+        GROUP BY e.dst) m ON m.dst = h.h
+    ),
+    p1m AS (SELECT hm.h, COALESCE(p1.pr, 0) AS pr
+            FROM hm LEFT JOIN p1 ON p1.h = hm.h)
+    SELECT 'host' || CAST(hm.h AS VARCHAR) || '.example' AS host,
+           CAST(CAST(150000000000 // (SELECT n FROM nm) AS BIGINT)
+                + COALESCE(m.mass, 0) AS BIGINT) AS pr_scaled,
+           hm.h NOT IN (SELECT h FROM hc) AS is_new
+    FROM hm LEFT JOIN (
+      SELECT e.dst, CAST(SUM((q.pr * 85) // (g.deg * 100)) AS BIGINT) AS mass
+      FROM em e JOIN degm g ON e.src = g.src JOIN p1m q ON q.h = e.src
+      GROUP BY e.dst) m ON m.dst = hm.h
+    """,
+)
+def incremental_pagerank(spark, sf_dir):
+    """Incremental PageRank update on batch arrival — the
+    crawl-frontier shape at 10^12 docs (VERDICT r4 item 6, mirroring
+    incremental_dedup's broadcast-probe structure): the accepted
+    corpus's host graph, out-degrees, rank vector pr1 and the last
+    sweep's per-dst mass table are PERSISTED artifacts (computed
+    inline here, exactly as the last full run left them); a new crawl
+    batch (doc_id % 5 = 4) merges its edges in and the next sweep's
+    rank is produced via an exact integer DELTA — persisted mass,
+    minus the touched srcs' old contributions, plus their
+    recomputed contributions under merged out-degrees — instead of
+    re-sweeping the full graph. The oracle recomputes the merged
+    sweep DIRECTLY, so the hash gate proves the delta decomposition
+    is bit-exact (all arithmetic bigint `div`, no floats anywhere).
+
+    Scale shape: the batch's srcs probe the corpus edge list through a
+    BROADCAST semi-join (map-side filter — the persisted side is never
+    re-shuffled or re-sorted for a join; the plan test pins zero
+    SortMergeJoin/ShuffledHashJoin), the touched slice and all rank/
+    degree vectors are host- or batch-cardinality and ride broadcast
+    joins, and the only exchanges are map-combinable aggregations —
+    the persisted side's own construction plus batch-proportional
+    delta aggs. New hosts enter with zero prior rank and the teleport
+    base re-normalizes to the merged host count, matching the direct
+    sweep exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    dj = d.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+    dst = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("lk:"), F.col("doc_id").cast("string"),
+                           F.lit(":"), F.col("j").cast("string"))),
+            1, 15), 16, 10).cast("bigint"),
+        F.lit(97))
+    edges = dj.select("doc_id", (F.col("doc_id") % 97).alias("src"),
+                      dst.alias("dst"))
+    is_batch = F.col("doc_id") % 5 == 4
+    # --- persisted artifacts (the last full run's state) ---
+    ec = edges.filter(~is_batch).select("src", "dst").distinct()
+    degc = ec.groupBy("src").agg(F.count("*").alias("deg"))
+    hc = ec.select(F.col("src").alias("h")).union(
+        ec.select(F.col("dst").alias("h"))).distinct()
+    nhc = hc.agg(F.count("*").alias("n"))
+    p0 = hc.crossJoin(F.broadcast(nhc)).select(
+        "h", F.expr("1000000000000 div n").cast("bigint").alias("pr"))
+    mass0 = (
+        ec.join(F.broadcast(degc), "src")
+        .join(F.broadcast(p0.select(F.col("h").alias("src"), "pr")), "src")
+        .select("dst", F.expr("(pr * 85) div (deg * 100)")
+                        .cast("bigint").alias("t"))
+        .groupBy("dst").agg(F.sum("t").cast("bigint").alias("mass"))
+    )
+    p1 = (
+        hc.crossJoin(F.broadcast(nhc))
+        .join(F.broadcast(mass0), F.col("h") == F.col("dst"), "left")
+        .select("h", (F.expr("150000000000 div n")
+                      + F.coalesce(F.col("mass"), F.lit(0)))
+                .cast("bigint").alias("pr"))
+    )
+    # the last committed sweep's per-dst mass table, computed FROM p1
+    # (persisted alongside p1 so the next sweep starts as a delta)
+    m1 = (
+        ec.join(F.broadcast(degc), "src")
+        .join(F.broadcast(p1.select(F.col("h").alias("src"), "pr")), "src")
+        .select("dst", F.expr("(pr * 85) div (deg * 100)")
+                        .cast("bigint").alias("t"))
+        .groupBy("dst").agg(F.sum("t").cast("bigint").alias("mass"))
+    )
+    # --- incremental layer (batch-proportional) ---
+    eb = edges.filter(is_batch).select("src", "dst").distinct()
+    bsrc = eb.select("src").distinct()
+    # map-side filter of the persisted edge list: broadcast semi-join,
+    # no shuffle/sort of ec
+    ec_t = ec.join(F.broadcast(bsrc), "src", "semi")
+    ebn = eb.join(F.broadcast(ec_t), ["src", "dst"], "left_anti")
+    em_t = ec_t.union(ebn)
+    degc_t = ec_t.groupBy("src").agg(F.count("*").alias("deg"))
+    degm_t = em_t.groupBy("src").agg(F.count("*").alias("deg"))
+    p1_t = p1.join(F.broadcast(bsrc.withColumnRenamed("src", "h")), "h",
+                   "semi").select(F.col("h").alias("src"), "pr")
+    old_t = (
+        ec_t.join(F.broadcast(degc_t), "src")
+        .join(F.broadcast(p1_t), "src")
+        .select("dst", F.expr("(pr * 85) div (deg * 100)")
+                        .cast("bigint").alias("t"))
+        .groupBy("dst").agg(F.sum("t").cast("bigint").alias("old"))
+    )
+    new_t = (
+        em_t.join(F.broadcast(degm_t), "src")
+        .join(F.broadcast(p1_t), "src", "left")
+        .select("dst",
+                F.expr("(coalesce(pr, 0) * 85) div (deg * 100)")
+                 .cast("bigint").alias("t"))
+        .groupBy("dst").agg(F.sum("t").cast("bigint").alias("new"))
+    )
+    hb = eb.select(F.col("src").alias("h")).union(
+        eb.select(F.col("dst").alias("h"))).distinct()
+    new_hosts = hb.join(F.broadcast(hc), "h", "left_anti")
+    hm = hc.select("h", F.lit(False).alias("is_new")).union(
+        new_hosts.select("h", F.lit(True).alias("is_new")))
+    nhm = hm.agg(F.count("*").alias("n"))
+    return (
+        hm.crossJoin(F.broadcast(nhm))
+        .join(F.broadcast(m1.withColumnRenamed("dst", "h")), "h", "left")
+        .join(F.broadcast(old_t.withColumnRenamed("dst", "h")), "h", "left")
+        .join(F.broadcast(new_t.withColumnRenamed("dst", "h")), "h", "left")
+        .select(
+            F.concat(F.lit("host"), F.col("h").cast("string"),
+                     F.lit(".example")).alias("host"),
+            (F.expr("150000000000 div n")
+             + F.coalesce(F.col("mass"), F.lit(0))
+             - F.coalesce(F.col("old"), F.lit(0))
+             + F.coalesce(F.col("new"), F.lit(0)))
+            .cast("bigint").alias("pr_scaled"),
+            "is_new",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registry order (VERDICT r4 item 2)
 # ---------------------------------------------------------------------------
@@ -4369,7 +4529,7 @@ DRIVER_PRIORITY = [
     # corpus-construction tier
     "corpus_build", "gopher_rules", "ngram_repetition", "decontaminate",
     "dup_clusters", "url_filter", "boilerplate_strip", "host_stats",
-    "host_cap", "link_graph", "host_pagerank",
+    "host_cap", "link_graph", "host_pagerank", "incremental_pagerank",
     # incremental / streaming dedup tier
     "incremental_dedup", "streaming_dedup", "sequence_pack", "source_mix",
     # temporal tier

@@ -154,3 +154,17 @@ def test_host_pagerank_no_python_no_cartesian(spark):
     plan = _plan(spark, "host_pagerank")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_pagerank_persisted_side_never_shuffle_joined(spark):
+    # the incremental sweep's contract (VERDICT r4 item 6): the
+    # persisted edge list is probed by the batch via BROADCAST
+    # semi/anti/hash joins only — a SortMergeJoin or ShuffledHashJoin
+    # anywhere means the full graph got re-shuffled for a join, which
+    # is exactly what the delta decomposition exists to avoid. The
+    # only exchanges are map-combinable aggs (degree/mass/host sets).
+    plan = _plan(spark, "incremental_pagerank")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
