@@ -55,6 +55,9 @@ HEADLINE = [
     "host_cap",
     "link_graph",
     "host_pagerank",
+    # r5: the crawl-frontier incremental rank update (broadcast-probe
+    # delta sweep) — in the headline so a shape regression is visible
+    "incremental_pagerank",
 ]
 
 
