@@ -4430,7 +4430,14 @@ def incremental_pagerank(spark, sf_dir):
                       dst.alias("dst"))
     is_batch = F.col("doc_id") % 5 == 4
     # --- persisted artifacts (the last full run's state) ---
-    ec = edges.filter(~is_batch).select("src", "dst").distinct()
+    # localCheckpoint stands in for reading the persisted tables: in
+    # production ec/p1/m1 are Iceberg reads, not recomputation — an
+    # unpinned plan here re-derives the whole corpus lineage (scan +
+    # explode + distinct) once per downstream reference (corpus_build
+    # precedent for the pattern). Post-distinct these are host²-bounded
+    # (≤97² rows at any sf).
+    ec = edges.filter(~is_batch).select("src", "dst").distinct() \
+        .localCheckpoint()
     degc = ec.groupBy("src").agg(F.count("*").alias("deg"))
     hc = ec.select(F.col("src").alias("h")).union(
         ec.select(F.col("dst").alias("h"))).distinct()
@@ -4450,7 +4457,7 @@ def incremental_pagerank(spark, sf_dir):
         .select("h", (F.expr("150000000000 div n")
                       + F.coalesce(F.col("mass"), F.lit(0)))
                 .cast("bigint").alias("pr"))
-    )
+    ).localCheckpoint()
     # the last committed sweep's per-dst mass table, computed FROM p1
     # (persisted alongside p1 so the next sweep starts as a delta)
     m1 = (
@@ -4461,7 +4468,8 @@ def incremental_pagerank(spark, sf_dir):
         .groupBy("dst").agg(F.sum("t").cast("bigint").alias("mass"))
     )
     # --- incremental layer (batch-proportional) ---
-    eb = edges.filter(is_batch).select("src", "dst").distinct()
+    eb = edges.filter(is_batch).select("src", "dst").distinct() \
+        .localCheckpoint()
     bsrc = eb.select("src").distinct()
     # map-side filter of the persisted edge list: broadcast semi-join,
     # no shuffle/sort of ec
