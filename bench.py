@@ -296,7 +296,9 @@ def main() -> None:
             "bench_scaling", cores=cores, shuffle_partitions=max(cores, 8),
             extra_conf={"spark.ui.enabled": "true",
                         "spark.ui.port": str(ui_port)})
-        if not os.path.exists(corpus_path):
+        # _SUCCESS gate: a dir torn by a killed run must regenerate,
+        # not fail schema inference on the next bench forever.
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
             corpus_df(spark, n_corpus, partitions=128).write.mode(
                 "overwrite").parquet(corpus_path)
         docs = spark.read.parquet(corpus_path)
