@@ -281,7 +281,7 @@ def main() -> None:
             stage_metrics,
             wait_for_quiet,
         )
-        from ocr_service_spark.corpus import corpus_df
+        from ocr_service_spark.corpus import ensure_bench_corpus
         from ocr_service_spark.pipeline import process_documents
         from ocr_service_spark.session import build_session
 
@@ -296,11 +296,7 @@ def main() -> None:
             "bench_scaling", cores=cores, shuffle_partitions=max(cores, 8),
             extra_conf={"spark.ui.enabled": "true",
                         "spark.ui.port": str(ui_port)})
-        # _SUCCESS gate: a dir torn by a killed run must regenerate,
-        # not fail schema inference on the next bench forever.
-        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-            corpus_df(spark, n_corpus, partitions=128).write.mode(
-                "overwrite").parquet(corpus_path)
+        ensure_bench_corpus(spark, corpus_path, n_corpus)
         docs = spark.read.parquet(corpus_path)
         docs.count()  # warm JVM + page cache
         runs = []

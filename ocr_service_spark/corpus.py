@@ -219,3 +219,18 @@ def corpus_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None)
 
     rng = spark.range(n_docs, numPartitions=partitions or max(8, spark.sparkContext.defaultParallelism))
     return rng.mapInPandas(gen_batches, schema=CORPUS_SCHEMA)
+
+
+def ensure_bench_corpus(spark, path: str, n_docs: int,
+                        partitions: int = 128) -> None:
+    """Materialize the bench corpus at `path` unless a COMPLETE write
+    is already there. Completeness is `<path>/_SUCCESS`, not bare
+    existence: a bench child killed mid-write leaves the dir holding
+    only `_temporary`, and a bare exists() check would then skip
+    regeneration forever while every reader dies with
+    UNABLE_TO_INFER_SCHEMA. Overwrite mode cleans the torn dir."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus_df(spark, n_docs, partitions=partitions).write.mode(
+            "overwrite").parquet(path)

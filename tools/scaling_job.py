@@ -44,12 +44,8 @@ def main() -> None:
         "scaling_job", cores=cores, shuffle_partitions=max(cores, 8),
         extra_conf={"spark.ui.enabled": "true",
                     "spark.ui.port": str(ui_port)})
-    # A dir without _SUCCESS is a torn write from a killed run —
-    # overwrite-regenerate instead of failing UNABLE_TO_INFER_SCHEMA.
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        from ocr_service_spark.corpus import corpus_df
-        corpus_df(spark, n_corpus, partitions=128).write.mode(
-            "overwrite").parquet(corpus_path)
+    from ocr_service_spark.corpus import ensure_bench_corpus
+    ensure_bench_corpus(spark, corpus_path, n_corpus)
     docs = spark.read.parquet(corpus_path)
     docs.count()  # warm JVM + page cache
 
