@@ -451,7 +451,15 @@ def main() -> None:
         pass
     print(json.dumps({"metric": "noise_audit", **audit}))
 
-    print(json.dumps({
+    print(headline_line(r, sf, cores, total, suspects))
+
+
+def headline_line(r, sf, cores, total, suspects) -> str:
+    """The LAST stdout line of a headline run — the driver's parse
+    contract (VERDICT r4 item 1: it must be compact, self-contained
+    JSON; the noise audit goes to an earlier line + a file).
+    test_bench_floors pins parseability, size and required keys."""
+    return json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -467,7 +475,7 @@ def main() -> None:
         "flagship_docs_per_sec": r["flagship_docs_per_sec"],
         "noise_suspect_queries": suspects,
         "noise_audit_file": "bench_data/noise_audit_last.json",
-    }))
+    })
 
 
 if __name__ == "__main__":

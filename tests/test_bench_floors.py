@@ -55,3 +55,29 @@ def test_seed_file_only_feeds_the_default_config(tmp_path):
     b = _load_bench(tmp_path, seed_content={"per_query_floor": {"q": 3.0}})
     assert b._load_floors(b._LEGACY_CFG) == {"q": 3.0}
     assert b._load_floors("sf9_c2_d5_cap16") == {}
+
+
+def test_headline_line_is_driver_parseable():
+    """The r4 round defect: the final stdout line grew past the
+    driver's bounded tail capture and BENCH_r04 came back parsed:null.
+    Pin the contract: compact (<2000 chars even with a full 20-query
+    map), valid JSON, and carries every key the driver and the
+    round-over-round comparison read."""
+    import json
+
+    import bench as b
+
+    timings = {f"query_{i:02d}": 1.234 for i in range(20)}
+    r = {"timings": timings, "shuffle_partitions": 16,
+         "corpus_docs_per_sec": 6104.0, "flagship_docs_per_sec": 1842.0}
+    line = b.headline_line(r, 0.1, 32, round(sum(timings.values()), 3),
+                           ["query_03"])
+    assert "\n" not in line
+    assert len(line) < 2000
+    d = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "overlap16_total",
+                "sf", "cores", "extract_docs_per_sec",
+                "flagship_docs_per_sec", "noise_suspect_queries"):
+        assert key in d, key
+    assert d["metric"] == "headline_total"
+    assert d["queries"] == timings
