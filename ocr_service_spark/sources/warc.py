@@ -79,9 +79,14 @@ def _split_members(raw: bytes, stats: dict | None = None) -> Iterator[bytes]:
     bytes through untouched). A corrupt member never fails the file:
     on zlib.error the scanner resyncs to the next 1f8b gzip magic and
     keeps going (counted in stats['n_skipped'] — at least one record
-    was lost). A truncated FINAL member decompresses partially without
-    raising (no eof flag); its partial bytes still yield (whole records
-    inside parse fine) and the cut is counted too."""
+    was lost). A member that STALLS without reaching stream end (no
+    eof flag) is dropped the same way: zlib never got to the CRC, so
+    the partial plaintext is unverifiable — a mid-stream byte flip can
+    corrupt decoded bytes without raising, and yielding them would
+    hand parse_warc a complete-looking record with a silently mangled
+    payload (hypothesis-found: n=2, victim=1, off=157, xor=32). True
+    truncation of the final member looks identical from here and is
+    counted under the same rule — only CRC-verified plaintext yields."""
     if raw[:2] != b"\x1f\x8b":
         yield raw
         return
@@ -91,6 +96,10 @@ def _split_members(raw: bytes, stats: dict | None = None) -> Iterator[bytes]:
         try:
             chunk = d.decompress(raw[pos:])
         except zlib.error:
+            chunk = None
+        if chunk is None or not d.eof:
+            # CRC/stream error, or a stall before stream end (flip or
+            # truncation): drop the unverifiable bytes, count, resync
             if stats is not None:
                 stats["n_skipped"] = stats.get("n_skipped", 0) + 1
             nxt = raw.find(b"\x1f\x8b", pos + 2)
@@ -99,10 +108,6 @@ def _split_members(raw: bytes, stats: dict | None = None) -> Iterator[bytes]:
             pos = nxt
             continue
         yield chunk
-        if not d.eof:  # truncated final member: partial data, no error
-            if stats is not None:
-                stats["n_skipped"] = stats.get("n_skipped", 0) + 1
-            return
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:  # pragma: no cover - corrupt trailing garbage
             return

@@ -21,7 +21,7 @@ from datetime import datetime, timedelta
 
 import gzip
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from ocr_service_spark.sources.warc import build_record, parse_warc
 
@@ -75,6 +75,10 @@ def test_truncation_never_raises_and_is_counted(n, cut_frac):
 @settings(max_examples=60, deadline=None)
 @given(n=st.integers(2, 6), victim=st.integers(0, 5), off=st.integers(4, 400),
        xor=st.integers(1, 255))
+@example(n=2, victim=1, off=157, xor=32)  # deflate stall w/o zlib.error:
+# the flip corrupted decoded payload bytes and the member never reached
+# its CRC — the old _split_members yielded the unverifiable partial
+# chunk and a silently-mangled record escaped (found 2026-08-19)
 def test_byte_flip_resyncs_and_counts(n, victim, off, xor):
     recs = _records(n)
     members, _ = _members(recs)
